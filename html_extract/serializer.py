@@ -1,0 +1,117 @@
+"""HTML serialization (spec §13.3 fragment-serialization algorithm).
+
+Reference parity: mensbeam/HTML-Parser lib/Parser/Serializer.php
+(serialize/serializeInner :70-81, node walk :113-528, escaping
+lib/Parser/NameCoercion.php:69-83).  The reference's optional
+pretty-printer (Serializer.php BLOCK_QUERY et al.) is a non-standard
+convenience and an explicit non-goal (SURVEY.md §2.2 Z3); its
+boolean-attribute compression option is likewise omitted.
+"""
+
+from .dom import (
+    Comment,
+    Doctype,
+    Document,
+    DocumentFragment,
+    Element,
+    ProcessingInstruction,
+    Text,
+)
+from .tables import (
+    HTML_NS,
+    MATHML_NS,
+    RAWTEXT_SERIALIZE,
+    SVG_NS,
+    VOID_ELEMENTS,
+    XLINK_NS,
+    XML_NS,
+    XMLNS_NS,
+)
+
+_ESC_TEXT = str.maketrans(
+    {"&": "&amp;", "\xa0": "&nbsp;", "<": "&lt;", ">": "&gt;"}
+)
+_ESC_ATTR = str.maketrans({"&": "&amp;", "\xa0": "&nbsp;", '"': "&quot;"})
+
+# HTML-ns elements whose text children serialize raw.  noscript is raw
+# only when scripting is on (Serializer.php:21,346-356); this engine is
+# permanently scripting-off, so noscript text is escaped.
+_RAW_PARENTS = RAWTEXT_SERIALIZE - {"noscript"}
+
+
+def _attr_name(el, qname):
+    nsinfo = el.attr_ns.get(qname)
+    if nsinfo is None:
+        return qname
+    ns, prefix, local = nsinfo
+    if ns == XML_NS:
+        return "xml:" + local
+    if ns == XMLNS_NS:
+        return "xmlns" if local == "xmlns" else "xmlns:" + local
+    if ns == XLINK_NS:
+        return "xlink:" + local
+    return f"{prefix}:{local}" if prefix else local
+
+
+def _serialize_node(node, out):
+    if isinstance(node, Element):
+        name = node.name  # local name for HTML/MathML/SVG; qualified else
+        out.append("<")
+        out.append(name)
+        for qname, value in node.attrs.items():
+            out.append(" ")
+            out.append(_attr_name(node, qname))
+            out.append('="')
+            out.append(value.translate(_ESC_ATTR))
+            out.append('"')
+        out.append(">")
+        if node.namespace == HTML_NS and node.name in VOID_ELEMENTS:
+            return
+        if node.template_content is not None:
+            for child in node.template_content.children:
+                _serialize_node(child, out)
+        else:
+            for child in node.children:
+                _serialize_node(child, out)
+        out.append("</")
+        out.append(name)
+        out.append(">")
+    elif isinstance(node, Text):
+        parent = node.parent
+        if (
+            isinstance(parent, Element)
+            and parent.namespace == HTML_NS
+            and parent.name in _RAW_PARENTS
+        ):
+            out.append(node.data)
+        else:
+            out.append(node.data.translate(_ESC_TEXT))
+    elif isinstance(node, Comment):
+        out.append(f"<!--{node.data}-->")
+    elif isinstance(node, Doctype):
+        out.append(f"<!DOCTYPE {node.name}>")
+    elif isinstance(node, ProcessingInstruction):
+        out.append(f"<?{node.target} {node.data}>")
+    elif isinstance(node, (Document, DocumentFragment)):
+        for child in node.children:
+            _serialize_node(child, out)
+
+
+def serialize(node) -> str:
+    """outerHTML: the node itself plus its subtree."""
+    out = []
+    _serialize_node(node, out)
+    return "".join(out)
+
+
+def serialize_inner(node) -> str:
+    """innerHTML: children only (template elements: their contents)."""
+    out = []
+    kids = (
+        node.template_content.children
+        if isinstance(node, Element) and node.template_content is not None
+        else node.children
+    )
+    for child in kids:
+        _serialize_node(child, out)
+    return "".join(out)

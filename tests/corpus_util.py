@@ -87,8 +87,12 @@ def normalize_tokens(tokens):
     return out
 
 
-def load_dat_blocks(path):
-    """Split an html5lib-format .dat file into dicts of section -> lines."""
+def load_dat_blocks(path, start_keys=("data",)):
+    """Split an html5lib-format .dat file into dicts of section -> lines.
+
+    ``start_keys``: section names that begin a new test block ("data" for
+    tokenizer/tree files; ("document", "fragment") for serializer files).
+    """
     text = Path(path).read_text()
     tests = []
     current = None
@@ -96,12 +100,12 @@ def load_dat_blocks(path):
     for line in text.split("\n"):
         if line.startswith("#"):
             name = line[1:]
-            if name == "data":
+            if name in start_keys:
                 if current is not None:
                     tests.append(current)
-                current = {"data": []}
-                section = "data"
-            else:
+                current = {name: []}
+                section = name
+            elif current is not None:
                 section = name
                 current[section] = []
         elif current is not None:

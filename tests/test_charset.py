@@ -1,0 +1,88 @@
+"""Encoding-detection corpus (#data/#encoding .dat) + unit checks.
+
+Driver semantics: reference tests/cases/TestCharset.php:70-80."""
+
+import glob
+import os
+
+import pytest
+
+from html_extract import charset as cs
+from tests.corpus_util import CORPUS, load_dat_blocks
+
+
+def _collect():
+    cases = []
+    for path in sorted(glob.glob(str(CORPUS / "encoding" / "*.dat"))):
+        fname = os.path.basename(path)
+        for i, block in enumerate(load_dat_blocks(path)):
+            data = block.get("data")
+            enc = block.get("encoding")
+            if data is None or enc is None:
+                continue
+            cases.append(pytest.param(data, enc.strip(), id=f"{fname}:{i}"))
+    return cases
+
+
+@pytest.mark.parametrize("data,expected", _collect())
+def test_encoding_detection(data, expected):
+    got, _certain, _bom = cs.detect(data.encode("utf-8"))
+    assert got.lower() == expected.lower()
+
+
+def test_bom_beats_everything():
+    enc, certain, bom = cs.detect(b"\xef\xbb\xbf<meta charset='koi8-r'>")
+    assert enc == "UTF-8" and certain and bom == 3
+
+
+def test_transport_charset():
+    enc, certain, _ = cs.detect(b"hello", transport_charset="text/html; charset=ISO-8859-2")
+    assert enc == "ISO-8859-2" and certain
+
+
+def test_prescan_pragma_requires_content_type():
+    # content= charset without http-equiv pragma is ignored
+    assert cs.prescan(b'<meta content="text/html; charset=utf-8">') is None
+    assert (
+        cs.prescan(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=utf-8">'
+        )
+        == "UTF-8"
+    )
+
+
+def test_prescan_skips_comments():
+    assert (
+        cs.prescan(b"<!-- <meta charset='koi8-r'> --><meta charset='utf-8'>")
+        == "UTF-8"
+    )
+
+
+def test_utf16_meta_remaps_to_utf8():
+    assert cs.prescan(b'<meta charset="utf-16le">') == "UTF-8"
+
+
+def test_xml_declaration_fallback():
+    assert (
+        cs.xml_declaration(b"<?xml version='1.0' encoding='ISO-8859-7'?>")
+        == "ISO-8859-7"
+    )
+
+
+def test_windows1252_default_decode():
+    from html_extract.parser import parse
+
+    out = parse(b"caf\xe9")
+    assert out.encoding == "windows-1252"
+
+
+def test_mid_parse_encoding_change_restart():
+    from html_extract.parser import parse
+
+    # body precedes the meta, so the prescan misses it only if meta is
+    # beyond the prescan window; pad to force a tentative windows-1252 start
+    pad = b"<!-- " + b"x" * 1100 + b" -->"
+    raw = pad + b"<meta charset='koi8-r'>\xc1\xc2"
+    out = parse(raw)
+    assert out.encoding == "KOI8-R"
+    assert out.restarted

@@ -1,0 +1,135 @@
+"""Serializer round-trip corpus: tree-format in -> HTML string out.
+
+Drives the reference's serializer .dat format (vendored mensbeam01/02 +
+wpt01; format doc /root/reference/tests/cases/serializer/README.md,
+driver semantics tests/cases/TestSerializer.php)."""
+
+import glob
+import os
+import re
+
+import pytest
+
+from html_extract.dom import (
+    Comment,
+    Doctype,
+    Document,
+    DocumentFragment,
+    Element,
+    ProcessingInstruction,
+    Text,
+)
+from html_extract.serializer import serialize_inner
+from html_extract.tables import (
+    MATHML_NS,
+    SVG_NS,
+    XLINK_NS,
+    XML_NS,
+    XMLNS_NS,
+)
+from tests.corpus_util import CORPUS, load_dat_blocks
+
+_NS = {"svg": SVG_NS, "math": MATHML_NS}
+_ATTR_NS = {"xlink": XLINK_NS, "xml": XML_NS, "xmlns": XMLNS_NS}
+_ATTR_RE = re.compile(r'^([^<"][^=]*)="(.*)"$', re.S)
+
+
+def parse_tree_format(block: str):
+    """Build a DOM subtree from '| '-indented html5lib tree format."""
+    root = DocumentFragment()
+    stack = [(root, -1)]
+    lines = block.split("\n")
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        i += 1
+        if not line.startswith("| "):
+            continue
+        body = line[2:]
+        stripped = body.lstrip(" ")
+        depth = (len(body) - len(stripped)) // 2
+        content = stripped
+        # multi-line text / attr values: accumulate until quotes balance
+        if (content.startswith('"') or _ATTR_RE.match(content)) and (
+            content.count('"') % 2 == 1
+        ):
+            while i < len(lines) and content.count('"') % 2 == 1:
+                content += "\n" + lines[i]
+                i += 1
+        while stack and stack[-1][1] >= depth:
+            stack.pop()
+        parent = stack[-1][0]
+        if content == "content" and isinstance(parent, Element):
+            # template contents pseudo-node
+            stack.append((parent.template_content, depth))
+            continue
+        if content.startswith('"'):
+            parent.append(Text(content[1:-1]))
+            continue
+        if content.startswith("<!DOCTYPE"):
+            inner = content[9:-1].strip()
+            name = inner.split(" ")[0] if inner else ""
+            parent.append(Doctype(name, None, None))
+            continue
+        if content.startswith("<!--"):
+            parent.append(Comment(content[4:-3].strip(" ")))
+            continue
+        if content.startswith("<?"):
+            body2 = content[2:-1]
+            target, _, rest = body2.partition(" ")
+            parent.append(ProcessingInstruction(target, rest))
+            continue
+        if content.startswith("<"):
+            inner = content[1:-1]
+            if " " in inner:
+                nstok, name = inner.split(" ", 1)
+                ns = _NS.get(nstok, nstok)
+            else:
+                ns, name = None, inner
+            from html_extract.tables import HTML_NS
+
+            el = Element(name, ns if ns else HTML_NS)
+            parent.append(el)
+            stack.append((el, depth))
+            continue
+        m = _ATTR_RE.match(content)
+        if m and isinstance(parent, Element):
+            aname, avalue = m.group(1), m.group(2)
+            if " " in aname:
+                nstok, qname = aname.split(" ", 1)
+                ns = _ATTR_NS.get(nstok, nstok)
+                if ":" in qname:
+                    prefix, local = qname.split(":", 1)
+                else:
+                    prefix, local = None, qname
+                parent.attrs[qname] = avalue
+                parent.attr_ns[qname] = (ns, prefix, local)
+            else:
+                parent.attrs[aname] = avalue
+            continue
+    return root
+
+
+def _collect():
+    cases = []
+    for path in sorted(glob.glob(str(CORPUS / "serializer" / "*.dat"))):
+        fname = os.path.basename(path)
+        for i, block in enumerate(load_dat_blocks(path, start_keys=("document", "fragment"))):
+            frag = block.get("fragment")
+            tree = frag if frag is not None else block.get("document")
+            expected = block.get("output")
+            if tree is None or expected is None:
+                continue
+            if "script-on" in block:  # engine is permanently scripting-off
+                continue
+            cases.append(
+                pytest.param(tree, expected, id=f"{fname}:{i}")
+            )
+    return cases
+
+
+@pytest.mark.parametrize("tree,expected", _collect())
+def test_serializer_case(tree, expected):
+    root = parse_tree_format(tree)
+    got = serialize_inner(root)
+    assert got == expected
