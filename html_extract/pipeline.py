@@ -1,0 +1,356 @@
+"""Ray Data pipeline: read -> adapt -> (skew-aware blocks) -> parse/extract
+-> write + per-shard lineage manifests, checkpoint-resumable.
+
+Stage classification follows SURVEY.md §7.2: the parse/extract stage is
+an actor pool (per-worker compiled tables: entity dict, tag sets,
+heuristic constants, §2.4); everything crossing a stage boundary is
+Arrow; the hot path is map-only — no shuffle is needed to extract.
+
+Scale notes (the 100 TB design):
+- column pruning at the read (only doc_id/text leave storage for the
+  adapter path; a real interleaved corpus reads doc_id/spans).
+- skew defusal: the adapter *yields* sub-batches cut by cumulative
+  html-byte size, so pathological documents land in small blocks and
+  never stall a whole 128 MiB block behind one 10 MB page
+  (north-rule "repartition by doc-size histogram" expressed the
+  streaming-native way: block shaping at source, no extra pass).
+- resume: the corpus is sharded by hash(doc_id) % num_shards; each
+  shard writes to its own directory via a temp-dir + atomic rename,
+  then appends a manifest JSON.  A rerun skips shards whose manifest
+  exists — per-partition lineage + checkpoint resume without a shuffle.
+"""
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .extract import process_document
+from .htmlgen import make_interleaved_spans
+
+SPAN_IN_T = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+SPAN_OUT_T = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("order", pa.int32()),
+    ]
+)
+META_T = pa.struct(
+    [
+        ("encoding", pa.string()),
+        ("quirks_mode", pa.int8()),
+        ("n_errors", pa.int32()),
+        ("n_nodes", pa.int32()),
+        ("parse_ns", pa.int64()),
+    ]
+)
+
+# target cumulative html bytes per yielded sub-batch from the adapter;
+# sized so batch x actor-pool concurrency stays far under worker heap
+ADAPTER_SLICE_BYTES = 4 << 20
+
+
+def documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def load_documents(sf_dir: str, shard=None, num_shards=None) -> rd.Dataset:
+    """Driver documents table, pruned to the two columns the adapter needs."""
+    ds = rd.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    if shard is not None and num_shards:
+        # hash-sharding for resume; at real scale shards map to file
+        # subsets so each shard reads only its own fragments
+        def pick(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            arr = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((arr % num_shards) == shard))
+
+        ds = ds.map_batches(pick, batch_format="pyarrow")
+    return ds
+
+
+class InterleaveAdapter:
+    """documents(doc_id:int64, text) -> input_hint rows
+    (doc_id:string, spans:list<struct>, n_bytes:int64).
+
+    Yields multiple Arrow sub-tables per input batch, cut by cumulative
+    html bytes — the skew-defusing block shaping described above.
+    """
+
+    def __init__(self, slice_bytes: int = ADAPTER_SLICE_BYTES):
+        self.slice_bytes = slice_bytes
+
+    def __call__(self, batch: pa.Table):
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        rows_ids, rows_spans, rows_bytes = [], [], []
+        acc = 0
+        for did, text in zip(ids, texts):
+            doc_id = f"doc-{did:012d}"
+            spans = make_interleaved_spans(doc_id, text or "")
+            n_bytes = sum(len(s[1]) + len(s[2]) for s in spans)
+            rows_ids.append(doc_id)
+            rows_spans.append(
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in spans
+                ]
+            )
+            rows_bytes.append(n_bytes)
+            acc += n_bytes
+            if acc >= self.slice_bytes:
+                yield self._table(rows_ids, rows_spans, rows_bytes)
+                rows_ids, rows_spans, rows_bytes = [], [], []
+                acc = 0
+        if rows_ids:
+            yield self._table(rows_ids, rows_spans, rows_bytes)
+
+    @staticmethod
+    def _table(ids, spans, nbytes) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "spans": pa.array(spans, pa.list_(SPAN_IN_T)),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+            }
+        )
+
+
+class ExtractActor:
+    """Actor-pool stage: {parse -> tree-build -> boilerplate strip} per row.
+
+    Stateful per SURVEY.md §2.4: the import below compiles the entity
+    table, tag sets and heuristic constants once per actor process;
+    __call__ touches only per-document state, so the stage is
+    deterministic and retry-safe.
+    """
+
+    def __init__(self):
+        # force the heavy module-level tables into this worker's memory
+        from . import entities, tables  # noqa: F401
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_in = batch["spans"].to_pylist()
+        nbytes = (
+            batch["n_bytes"].to_pylist()
+            if "n_bytes" in batch.column_names
+            else [0] * len(ids)
+        )
+        out_spans, out_meta, ok = [], [], []
+        for doc_id, row in zip(ids, spans_in):
+            try:
+                spans, meta = process_document(
+                    doc_id,
+                    [(s["kind"], s["text"], s["media_ref"]) for s in row],
+                )
+                out_spans.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "order": o}
+                        for k, t, m, o in spans
+                    ]
+                )
+                out_meta.append(
+                    {
+                        "encoding": meta["encoding"],
+                        "quirks_mode": meta["quirks_mode"],
+                        "n_errors": meta["n_errors"],
+                        "n_nodes": meta["n_nodes"],
+                        "parse_ns": meta["parse_ns"],
+                    }
+                )
+                ok.append(True)
+            except Exception:  # poison doc: emit an error row, keep the task
+                out_spans.append([])
+                out_meta.append(
+                    {
+                        "encoding": "",
+                        "quirks_mode": 0,
+                        "n_errors": -1,
+                        "n_nodes": 0,
+                        "parse_ns": 0,
+                    }
+                )
+                ok.append(False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "spans": pa.array(out_spans, pa.list_(SPAN_OUT_T)),
+                "meta": pa.array(out_meta, META_T),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+def interleaved_dataset(sf_dir, shard=None, num_shards=None) -> rd.Dataset:
+    ds = load_documents(sf_dir, shard, num_shards)
+    return ds.map_batches(
+        InterleaveAdapter(), batch_format="pyarrow", batch_size=256
+    )
+
+
+def extracted_dataset(
+    sf_dir=None,
+    ds: rd.Dataset | None = None,
+    concurrency=None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """The flagship pipeline as a lazy Dataset (no materialization)."""
+    if ds is None:
+        ds = interleaved_dataset(sf_dir)
+    if concurrency is None:
+        # autoscaling actor pool; Ray caps it at available CPUs
+        concurrency = (1, 32)
+    return ds.map_batches(
+        ExtractActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+    )
+
+
+def size_histogram(ds: rd.Dataset, edges=(1 << 8, 1 << 10, 1 << 12, 1 << 14, 1 << 16, 1 << 20)):
+    """Doc-size histogram (drives block shaping / skew decisions).
+
+    One cheap vectorized pass over just n_bytes; returns
+    {bucket_upper_bound_or_'inf': count}.
+    """
+    import numpy as np
+
+    nb = len(edges) + 1
+
+    def count(t: pa.Table) -> pa.Table:
+        arr = t["n_bytes"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(np.asarray(edges), arr, side="right")
+        hist = np.bincount(idx, minlength=nb)
+        return pa.table({f"b{i}": [int(hist[i])] for i in range(nb)})
+
+    partials = ds.select_columns(["n_bytes"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+    totals = partials.sum([f"b{i}" for i in range(nb)])
+    labels = [str(e) for e in edges] + ["inf"]
+    return {
+        lab: int(totals[f"sum(b{i})"]) for i, lab in enumerate(labels)
+    }
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resumable sharded run with lineage manifests
+
+
+def run_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    num_shards: int = 4,
+    concurrency=None,
+    batch_size: int = 64,
+    resume: bool = True,
+):
+    """Full run: per-shard extract -> atomic write -> manifest.
+
+    Returns the list of manifest dicts (one per shard).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+    manifests = []
+    for shard in range(num_shards):
+        mpath = os.path.join(manifest_dir, f"shard-{shard}.json")
+        if resume and os.path.exists(mpath):
+            with open(mpath) as f:
+                manifests.append(json.load(f))
+            continue
+        t0 = time.time()
+        ds = interleaved_dataset(sf_dir, shard=shard, num_shards=num_shards)
+        out = extracted_dataset(
+            ds=ds, concurrency=concurrency, batch_size=batch_size
+        )
+        shard_dir = os.path.join(out_dir, f"shard={shard}")
+        tmp_dir = os.path.join(out_dir, f"_tmp-shard-{shard}")
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        out.write_parquet(tmp_dir)
+        if os.path.exists(shard_dir):
+            import shutil
+
+            shutil.rmtree(shard_dir)
+        os.rename(tmp_dir, shard_dir)
+        # lineage metrics from the written files (no recompute)
+        stats = _shard_stats(shard_dir)
+        manifest = {
+            "shard": shard,
+            "input": documents_path(sf_dir),
+            "completed_at": time.time(),
+            "wall_s": round(time.time() - t0, 3),
+            **stats,
+        }
+        tmp_m = mpath + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_m, mpath)
+        manifests.append(manifest)
+    return manifests
+
+
+def _shard_stats(shard_dir: str) -> dict:
+    import pyarrow.dataset as pds
+
+    dataset = pds.dataset(shard_dir, format="parquet")
+    tbl = dataset.to_table(columns=["doc_id", "n_bytes", "meta", "ok"])
+    meta = tbl["meta"].combine_chunks()
+    n_errors = pc.sum(pc.max_element_wise(meta.field("n_errors"), 0)).as_py()
+    ids = tbl["doc_id"]
+    return {
+        "row_count": tbl.num_rows,
+        "byte_count": pc.sum(tbl["n_bytes"]).as_py() or 0,
+        "error_count": int(n_errors or 0),
+        "failed_docs": int(
+            pc.sum(pc.cast(pc.invert(tbl["ok"]), pa.int64())).as_py() or 0
+        ),
+        "min_doc_id": pc.min(ids).as_py() if tbl.num_rows else None,
+        "max_doc_id": pc.max(ids).as_py() if tbl.num_rows else None,
+    }
+
+
+def spans_flat(ds: rd.Dataset) -> rd.Dataset:
+    """Explode extracted spans to one row per span (doc_id, kind, text,
+    media_ref, order) — the SQL-comparable projection of the output."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(spans).combine_chunks()
+        import numpy as np
+
+        doc_ids = t["doc_id"].take(
+            pa.array(np.repeat(np.arange(len(t)), lengths), pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "ord": flat.field("order"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,91 @@
+"""End-to-end Ray Data pipeline tests at sf0.001, including the
+span-equality invariant (Ray output vs single-process oracle) and
+checkpoint resume."""
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_flagship_extraction_runs(tmp_path):
+    from html_extract import pipeline as P
+
+    ds = P.extracted_dataset(SF_DIR, batch_size=64)
+    rows = ds.take(10)
+    assert len(rows) == 10
+    for r in rows:
+        assert r["doc_id"].startswith("doc-")
+        assert r["ok"]
+        assert isinstance(r["spans"], list) and len(r["spans"]) > 0
+        orders = [s["order"] for s in r["spans"]]
+        assert orders == list(range(len(orders)))
+
+
+def test_span_equality_vs_oracle():
+    """north-rule invariant: per-document span-sequence equality
+    (kind, text, media_ref, order) of the Ray pipeline vs the
+    single-process oracle."""
+    from html_extract import pipeline as P
+    from html_extract.extract import process_document
+    from html_extract.htmlgen import make_interleaved_spans
+    import pyarrow.parquet as pq
+
+    ds = P.extracted_dataset(SF_DIR, batch_size=32)
+    got = {r["doc_id"]: r["spans"] for r in ds.take_all()}
+    src = pq.read_table(P.documents_path(SF_DIR), columns=["doc_id", "text"])
+    assert len(got) == src.num_rows
+    checked = 0
+    for did, text in zip(
+        src["doc_id"].to_pylist(), src["text"].to_pylist()
+    ):
+        doc_id = f"doc-{did:012d}"
+        spans_in = make_interleaved_spans(doc_id, text or "")
+        oracle, _ = process_document(doc_id, [(k, t, m) for k, t, m, _ in spans_in])
+        ray_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in got[doc_id]
+        ]
+        assert ray_spans == oracle, f"span mismatch for {doc_id}"
+        checked += 1
+    assert checked == src.num_rows
+
+
+def test_sharded_run_and_resume(tmp_path):
+    from html_extract import pipeline as P
+
+    out_dir = str(tmp_path / "out")
+    manifests = P.run_pipeline(SF_DIR, out_dir, num_shards=2, batch_size=64)
+    assert len(manifests) == 2
+    total = sum(m["row_count"] for m in manifests)
+    assert total == 500  # sf0.001 documents rows
+    assert all(m["failed_docs"] == 0 for m in manifests)
+    assert os.path.exists(os.path.join(out_dir, "shard=0"))
+    assert os.path.exists(os.path.join(out_dir, "_manifests/shard-1.json"))
+    # resume: no recompute (manifests returned unchanged, fast)
+    again = P.run_pipeline(SF_DIR, out_dir, num_shards=2)
+    assert [m["completed_at"] for m in again] == [
+        m["completed_at"] for m in manifests
+    ]
+
+
+def test_size_histogram():
+    from html_extract import pipeline as P
+
+    ds = P.interleaved_dataset(SF_DIR)
+    hist = P.size_histogram(ds)
+    assert sum(hist.values()) == 500
+    # corpus pages are multi-KB
+    assert hist["256"] == 0
+
+
+def test_spans_flat_projection():
+    from html_extract import pipeline as P
+
+    flat = P.spans_flat(P.extracted_dataset(SF_DIR))
+    t = flat.take(5)
+    assert {"doc_id", "kind", "text", "media_ref", "ord"} <= set(t[0].keys())
