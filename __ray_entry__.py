@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      : flagship extraction pipeline at sf0.001 (Dataset).
+queries()    : operator inventory — extraction pipelines + training-data
+               ops (SURVEY.md §2 + dedup/ANN/text-analysis additions).
+oracle_sql() : DuckDB twins for everything SQL-expressible; parser-
+               dependent results are rows-only by design (the real
+               correctness gate for those is the span-equality pytest
+               suite vs the single-process oracle).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in html_extract) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,135 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents -> interleaved spans -> HTML5 parse ->
+    boilerplate strip -> ordered span rows."""
+    from html_extract import pipeline as P
+
+    return P.extracted_dataset(SF_SMOKE, batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from html_extract import dataops as D
+    from html_extract import multimodal as M
+    from html_extract import pipeline as P
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_spans(sf_dir):
+        return P.spans_flat(P.extracted_dataset(sf_dir))
+
+    def extract_meta(sf_dir):
+        import pyarrow as pa
+
+        def project(t: pa.Table) -> pa.Table:
+            meta = t["meta"].combine_chunks()
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "encoding": meta.field("encoding"),
+                    "quirks_mode": meta.field("quirks_mode"),
+                    "n_errors": meta.field("n_errors"),
+                    "n_nodes": meta.field("n_nodes"),
+                }
+            )
+
+        return P.extracted_dataset(sf_dir).map_batches(
+            project, batch_format="pyarrow"
+        )
+
+    return {
+        # extraction (parser-dependent -> rows-only checks)
+        "extract_spans": extract_spans,
+        "extract_meta": extract_meta,
+        "media_features": M.media_features,
+        # SQL-checkable table ops
+        "doc_stats_by_source": D.doc_stats_by_source,
+        "lang_distribution": D.lang_distribution,
+        "doc_size_histogram": D.doc_size_histogram,
+        "token_counts": D.token_counts,
+        "quality_scores": D.quality_scores,
+        "doc_fingerprints": D.doc_fingerprints,
+        "exact_dedup": D.exact_dedup,
+        "events_hourly": D.events_hourly,
+        "orders_by_nation": D.orders_by_nation,
+        "ann_topk": D.ann_topk,
+        # dedup / similarity (non-SQL -> rows-only)
+        "minhash_dedup": D.minhash_dedup,
+        "simhash_fingerprints": D.simhash_fingerprints,
+        "embedding_near_dups": D.embedding_near_dups,
+        "langid": D.langid,
+        "user_sessions": D.user_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "doc_size_histogram": """
+            SELECT bucket, count(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN n_chars <= 64 THEN '64'
+                    WHEN n_chars <= 128 THEN '128'
+                    WHEN n_chars <= 256 THEN '256'
+                    WHEN n_chars <= 512 THEN '512'
+                    ELSE 'inf' END AS bucket
+                FROM documents)
+            GROUP BY bucket
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+                   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                       AS n_punct
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id,
+                       e.vec_id AS neighbor_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                                    DESC, e.vec_id) AS BIGINT) AS rank
+                FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
+        """,
+    }

@@ -68,7 +68,16 @@ def documents_path(sf_dir: str) -> str:
 
 def load_documents(sf_dir: str, shard=None, num_shards=None) -> rd.Dataset:
     """Driver documents table, pruned to the two columns the adapter needs."""
-    ds = rd.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+    import ray
+
+    path = documents_path(sf_dir)
+    kwargs = {}
+    if os.path.getsize(path) <= (1 << 30):
+        # small input: cap read blocks at the CPU count — Ray's ~200-block
+        # default turns downstream stages into empty-block task storms
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        kwargs["override_num_blocks"] = max(4, min(cpus, 64))
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], **kwargs)
     if shard is not None and num_shards:
         # hash-sharding for resume; at real scale shards map to file
         # subsets so each shard reads only its own fragments
@@ -90,31 +99,37 @@ class InterleaveAdapter:
     html bytes — the skew-defusing block shaping described above.
     """
 
-    def __init__(self, slice_bytes: int = ADAPTER_SLICE_BYTES):
+    def __init__(self, slice_bytes: int = ADAPTER_SLICE_BYTES, replicate: int = 1):
         self.slice_bytes = slice_bytes
+        # replicate>1 synthesizes R distinct documents per source row
+        # (distinct doc_id seeds -> distinct HTML); used by bench runs to
+        # scale work deterministically without external data
+        self.replicate = replicate
 
     def __call__(self, batch: pa.Table):
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         rows_ids, rows_spans, rows_bytes = [], [], []
         acc = 0
-        for did, text in zip(ids, texts):
-            doc_id = f"doc-{did:012d}"
-            spans = make_interleaved_spans(doc_id, text or "")
-            n_bytes = sum(len(s[1]) + len(s[2]) for s in spans)
-            rows_ids.append(doc_id)
-            rows_spans.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in spans
-                ]
-            )
-            rows_bytes.append(n_bytes)
-            acc += n_bytes
-            if acc >= self.slice_bytes:
-                yield self._table(rows_ids, rows_spans, rows_bytes)
-                rows_ids, rows_spans, rows_bytes = [], [], []
-                acc = 0
+        for did0, text in zip(ids, texts):
+            for rep in range(self.replicate):
+                did = did0 + rep * 10_000_000
+                doc_id = f"doc-{did:012d}"
+                spans = make_interleaved_spans(doc_id, text or "")
+                n_bytes = sum(len(s[1]) + len(s[2]) for s in spans)
+                rows_ids.append(doc_id)
+                rows_spans.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in spans
+                    ]
+                )
+                rows_bytes.append(n_bytes)
+                acc += n_bytes
+                if acc >= self.slice_bytes:
+                    yield self._table(rows_ids, rows_spans, rows_bytes)
+                    rows_ids, rows_spans, rows_bytes = [], [], []
+                    acc = 0
         if rows_ids:
             yield self._table(rows_ids, rows_spans, rows_bytes)
 
@@ -196,10 +211,14 @@ class ExtractActor:
         )
 
 
-def interleaved_dataset(sf_dir, shard=None, num_shards=None) -> rd.Dataset:
+def interleaved_dataset(
+    sf_dir, shard=None, num_shards=None, replicate: int = 1
+) -> rd.Dataset:
     ds = load_documents(sf_dir, shard, num_shards)
     return ds.map_batches(
-        InterleaveAdapter(), batch_format="pyarrow", batch_size=256
+        InterleaveAdapter(replicate=replicate),
+        batch_format="pyarrow",
+        batch_size=256,
     )
 
 
@@ -208,13 +227,20 @@ def extracted_dataset(
     ds: rd.Dataset | None = None,
     concurrency=None,
     batch_size: int = 64,
+    replicate: int = 1,
 ) -> rd.Dataset:
     """The flagship pipeline as a lazy Dataset (no materialization)."""
     if ds is None:
-        ds = interleaved_dataset(sf_dir)
+        ds = interleaved_dataset(sf_dir, replicate=replicate)
     if concurrency is None:
-        # autoscaling actor pool; Ray caps it at available CPUs
-        concurrency = (1, 32)
+        # autoscaling pool capped BELOW the CPU count: a pool that
+        # reserves every CPU starves the read/adapter stages (measured:
+        # a fixed full-width pool deadlocks the streaming executor)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        hi = max(2, cpus - 2)
+        concurrency = (max(1, min(8, hi // 2)), hi)
     return ds.map_batches(
         ExtractActor,
         batch_format="pyarrow",
