@@ -141,49 +141,60 @@ def extract_from_document(doc):
         if _keep(saved, clean):
             out.append(("text", clean, ""))
 
-    def visit(el, block, link_depth, in_article):
-        for child in el.children:
-            if isinstance(child, Text):
-                if block is not None:
-                    block.pieces.append(child.data)
-                    if link_depth > 0:
-                        block.link_chars += len(_norm(child.data))
-                continue
-            if not isinstance(child, Element):
-                continue
-            name = child.name
-            if child.namespace != HTML_NS:
-                # foreign islands: recurse for any embedded HTML
-                # integration-point content, otherwise skip
-                visit(child, block, link_depth, in_article)
-                continue
-            if _is_pruned(child):
-                continue
-            if name in MEDIA_TAGS:
-                ref = _media_ref(child)
-                if ref:
-                    flush(block)
-                    out.append(("media", _media_text(child), ref))
-                continue
-            if name == "title":
-                t = _Block("title", in_article)
-                visit(child, t, 0, in_article)
-                flush(t)
-                continue
-            if name == "template":
-                continue  # inert content
-            art = in_article or name in ("article", "main")
-            if name in BLOCK_TAGS:
-                flush(block)
-                sub = _Block(name, art)
-                visit(child, sub, link_depth, art)
-                flush(sub)
-                continue
-            ld = link_depth + (1 if name == "a" else 0)
-            visit(child, block, ld, art)
-
+    # Iterative DOM walk (explicit frames): pathological documents nest
+    # tens of thousands deep — the skew tail the north rule calls out —
+    # and a recursive walk dies on Python's recursion limit there.
+    # frame: [element, next_child_idx, block, link_depth, in_article,
+    #         block_to_flush_on_exit]
     root = _Block("body", False)
-    visit(doc, root, 0, False)
+    frames = [[doc, 0, root, 0, False, None]]
+    while frames:
+        frame = frames[-1]
+        el, i, block, link_depth, in_article, exit_block = frame
+        kids = el.children
+        if i >= len(kids):
+            frames.pop()
+            if exit_block is not None:
+                flush(exit_block)
+            continue
+        frame[1] = i + 1
+        child = kids[i]
+        if isinstance(child, Text):
+            if block is not None:
+                block.pieces.append(child.data)
+                if link_depth > 0:
+                    block.link_chars += len(_norm(child.data))
+            continue
+        if not isinstance(child, Element):
+            continue
+        name = child.name
+        if child.namespace != HTML_NS:
+            # foreign islands: descend for any embedded HTML
+            # integration-point content, same block context
+            frames.append([child, 0, block, link_depth, in_article, None])
+            continue
+        if _is_pruned(child):
+            continue
+        if name in MEDIA_TAGS:
+            ref = _media_ref(child)
+            if ref:
+                flush(block)
+                out.append(("media", _media_text(child), ref))
+            continue
+        if name == "title":
+            t = _Block("title", in_article)
+            frames.append([child, 0, t, 0, in_article, t])
+            continue
+        if name == "template":
+            continue  # inert content
+        art = in_article or name in ("article", "main")
+        if name in BLOCK_TAGS:
+            flush(block)
+            sub = _Block(name, art)
+            frames.append([child, 0, sub, link_depth, art, sub])
+            continue
+        ld = link_depth + (1 if name == "a" else 0)
+        frames.append([child, 0, block, ld, art, None])
     flush(root)
     return out
 

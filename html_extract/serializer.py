@@ -54,47 +54,53 @@ def _attr_name(el, qname):
 
 
 def _serialize_node(node, out):
-    if isinstance(node, Element):
-        name = node.name  # local name for HTML/MathML/SVG; qualified else
-        out.append("<")
-        out.append(name)
-        for qname, value in node.attrs.items():
-            out.append(" ")
-            out.append(_attr_name(node, qname))
-            out.append('="')
-            out.append(value.translate(_ESC_ATTR))
-            out.append('"')
-        out.append(">")
-        if node.namespace == HTML_NS and node.name in VOID_ELEMENTS:
-            return
-        if node.template_content is not None:
-            for child in node.template_content.children:
-                _serialize_node(child, out)
-        else:
-            for child in node.children:
-                _serialize_node(child, out)
-        out.append("</")
-        out.append(name)
-        out.append(">")
-    elif isinstance(node, Text):
-        parent = node.parent
-        if (
-            isinstance(parent, Element)
-            and parent.namespace == HTML_NS
-            and parent.name in _RAW_PARENTS
-        ):
-            out.append(node.data)
-        else:
-            out.append(node.data.translate(_ESC_TEXT))
-    elif isinstance(node, Comment):
-        out.append(f"<!--{node.data}-->")
-    elif isinstance(node, Doctype):
-        out.append(f"<!DOCTYPE {node.name}>")
-    elif isinstance(node, ProcessingInstruction):
-        out.append(f"<?{node.target} {node.data}>")
-    elif isinstance(node, (Document, DocumentFragment)):
-        for child in node.children:
-            _serialize_node(child, out)
+    # Iterative (explicit stack): survives pathologically deep documents
+    # that would blow Python's recursion limit.  Literal strings on the
+    # stack are emitted as-is (used for deferred end tags).
+    stack = [node]
+    while stack:
+        item = stack.pop()
+        if type(item) is str:
+            out.append(item)
+            continue
+        if isinstance(item, Element):
+            name = item.name  # local for HTML/MathML/SVG; qualified else
+            out.append("<")
+            out.append(name)
+            for qname, value in item.attrs.items():
+                out.append(" ")
+                out.append(_attr_name(item, qname))
+                out.append('="')
+                out.append(value.translate(_ESC_ATTR))
+                out.append('"')
+            out.append(">")
+            if item.namespace == HTML_NS and item.name in VOID_ELEMENTS:
+                continue
+            stack.append(f"</{name}>")
+            kids = (
+                item.template_content.children
+                if item.template_content is not None
+                else item.children
+            )
+            stack.extend(reversed(kids))
+        elif isinstance(item, Text):
+            parent = item.parent
+            if (
+                isinstance(parent, Element)
+                and parent.namespace == HTML_NS
+                and parent.name in _RAW_PARENTS
+            ):
+                out.append(item.data)
+            else:
+                out.append(item.data.translate(_ESC_TEXT))
+        elif isinstance(item, Comment):
+            out.append(f"<!--{item.data}-->")
+        elif isinstance(item, Doctype):
+            out.append(f"<!DOCTYPE {item.name}>")
+        elif isinstance(item, ProcessingInstruction):
+            out.append(f"<?{item.target} {item.data}>")
+        elif isinstance(item, (Document, DocumentFragment)):
+            stack.extend(reversed(item.children))
 
 
 def serialize(node) -> str:
