@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": D.embedding_near_dups,
         "langid": D.langid,
         "user_sessions": D.user_sessions,
+        "stopword_counts": D.stopword_counts,
+        "top_sources_by_chars": D.top_sources_by_chars,
+        "top_users_by_events": D.top_users_by_events,
     }
 
 
@@ -136,6 +139,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "stopword_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x IN ('the','a','and','of','to','in','is','it',
+                                  'you','that','for','on','with','as','at',
+                                  'be','this'))) AS BIGINT) AS n_stop
+            FROM documents
+        """,
+        "top_sources_by_chars": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+            ORDER BY sum_chars DESC, source LIMIT 5
+        """,
+        "top_users_by_events": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   min(ts) AS start_ts,
+                   max(ts) AS end_ts,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (
+                    SELECT user_id, ts,
+                           CASE WHEN ts - lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS is_new
+                    FROM events))
+            GROUP BY user_id, sid
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -215,6 +215,50 @@ def langid(sf_dir) -> rd.Dataset:
     )
 
 
+def stopword_counts(sf_dir) -> rd.Dataset:
+    """English stopword occurrences per document (quality-signal core)."""
+    stops = _STOPWORDS["en"]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_stop": [
+                    sum(1 for w in t.split() if w in stops) for t in df["text"]
+                ],
+            }
+        ).astype({"n_stop": "int64"})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def top_sources_by_chars(sf_dir, k: int = 5) -> pd.DataFrame:
+    """Top-k sources by total characters (sort + limit over the
+    aggregated stats; ties broken by source name)."""
+    stats = doc_stats_by_source(sf_dir).to_pandas()
+    stats = stats.sort_values(
+        ["sum_chars", "source"], ascending=[False, True], ignore_index=True
+    )
+    return stats.head(k)[["source", "sum_chars"]]
+
+
+def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
+    """Top-k users by event count (partial counts -> combine -> top-k;
+    deterministic tie-break on user_id)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        col = "n" if "n" in df.columns else "user_id"
+        if "n" in df.columns:
+            return df.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        return df.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+
+    agg = _tree_agg(ds, partial).to_pandas()
+    agg = agg.sort_values(["n", "user_id"], ascending=[False, True], ignore_index=True)
+    return agg.head(k).astype({"n": "int64"})
+
+
 def doc_fingerprints(sf_dir) -> rd.Dataset:
     """Content fingerprint per doc (md5 — matches SQL md5())."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -50,6 +50,50 @@ def _normalize(text: str) -> str:
     return text
 
 
+import re as _re
+
+# E8: input-stream error detection (Data.php:119-174) — control characters
+# and noncharacters flagged with positions; only when errors are collected
+# (the reference's errorCollection gate, Config.php:16-17).
+_CONTROL_RE = _re.compile(
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f]"
+)
+_NONCHAR_RE = _re.compile(
+    "[﷐-﷯￾￿]|[\U0001fffe\U0001ffff\U0002fffe\U0002ffff"
+    "\U0003fffe\U0003ffff\U0004fffe\U0004ffff\U0005fffe\U0005ffff"
+    "\U0006fffe\U0006ffff\U0007fffe\U0007ffff\U0008fffe\U0008ffff"
+    "\U0009fffe\U0009ffff\U000afffe\U000affff\U000bfffe\U000bffff"
+    "\U000cfffe\U000cffff\U000dfffe\U000dffff\U000efffe\U000effff"
+    "\U000ffffe\U000fffff\U0010fffe\U0010ffff]"
+)
+
+
+def _input_stream_errors(text: str):
+    errors = []
+    for m in _CONTROL_RE.finditer(text):
+        errors.append(("control-character-in-input-stream", m.start()))
+    for m in _NONCHAR_RE.finditer(text):
+        errors.append(("noncharacter-in-input-stream", m.start()))
+    return errors
+
+
+class _LineCol:
+    """Offset -> (line, column), 1-based, from precomputed newline index."""
+
+    def __init__(self, text: str):
+        import bisect
+
+        self._bisect = bisect.bisect_right
+        self._nl = [i for i, c in enumerate(text) if c == "\n"]
+
+    def __call__(self, offset: int):
+        if offset < 0:
+            return (-1, -1)
+        line = self._bisect(self._nl, offset - 1)
+        col = offset - (self._nl[line - 1] + 1 if line > 0 else 0) + 1
+        return (line + 1, col)
+
+
 def _parse_once(text, config, encoding_name, certain, raw_had_meta_hook):
     tok = Tokenizer(
         _normalize(text),
@@ -110,9 +154,23 @@ def parse(data, content_type=None, config=None) -> Output:
             restarted = True
     else:
         enc = "UTF-8"
+        text = data
         tok, tb = _parse_once(data, config, enc, True, False)
         restarted = False
-    errors = (tok.errors + [(c, -1) for c in tb.errors]) if config.error_collection else []
+    if config.error_collection:
+        # error tuples as (code, line, col) — reference parity with the
+        # [line, column, code] records of lib/Parser/ParseError.php:167;
+        # position tracking only happens when collection is on
+        # (Data.php:56-57 performance gate)
+        norm = _normalize(text)
+        linecol = _LineCol(norm)
+        errors = [
+            (code, *linecol(off))
+            for code, off in _input_stream_errors(norm) + tok.errors
+        ]
+        errors += [(c, -1, -1) for c in tb.errors]
+    else:
+        errors = []
     return Output(
         document=tb.doc,
         encoding=enc,

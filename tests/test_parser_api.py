@@ -1,0 +1,82 @@
+"""Parse API surface: Output record, error positions, config gates,
+DOMParser dispatch (reference TestParser.php / TestDOMParser.php analogs)."""
+
+import pytest
+
+from html_extract.domparser import parse_from_string
+from html_extract.parser import Config, Output, parse, parse_fragment
+
+
+def test_output_record_shape():
+    out = parse("<p>x</p>")
+    assert isinstance(out, Output)
+    assert out.encoding == "UTF-8"
+    assert out.quirks_mode == 1  # no doctype -> quirks
+    assert out.errors == []  # collection off by default
+
+
+def test_no_quirks_with_doctype():
+    assert parse("<!DOCTYPE html><p>x").quirks_mode == 0
+
+
+def test_limited_quirks():
+    out = parse(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" '
+        '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd"><p>'
+    )
+    assert out.quirks_mode == 2
+
+
+def test_error_positions_line_col():
+    config = Config(error_collection=True)
+    out = parse("<p>\n<b//>", config=config)
+    codes = {(c, l, col) for c, l, col in out.errors}
+    # the stray solidus is on line 2, and the missing doctype on line 1
+    assert any(c == "unexpected-solidus-in-tag" and l == 2 for c, l, col in codes)
+    assert any(c == "expected-doctype-but-got-something-else" for c, _, _ in codes)
+
+
+def test_input_stream_control_char_error():
+    config = Config(error_collection=True)
+    out = parse("<!DOCTYPE html>ab\x01cd", config=config)
+    hits = [e for e in out.errors if e[0] == "control-character-in-input-stream"]
+    assert len(hits) == 1
+    assert hits[0][1:] == (1, 18)
+
+
+def test_errors_off_by_default_costs_nothing():
+    out = parse("<p>\n<b//>")
+    assert out.errors == []
+
+
+def test_parse_fragment_contexts():
+    frag = parse_fragment("template", "<td>x</td>")
+    from html_extract.serializer import serialize_inner
+
+    assert serialize_inner(frag) == "<td>x</td>"
+    frag = parse_fragment("svg path", "<circle/>")
+    assert frag.children[0].name == "circle"
+
+
+def test_domparser_html():
+    out = parse_from_string("<p>x", "text/html")
+    assert out.encoding == "UTF-8"
+    out = parse_from_string(b"<p>\xe9", "text/html; charset=ISO-8859-1")
+    assert out.encoding == "windows-1252"  # label maps per WHATWG registry
+
+
+def test_domparser_xml_unsupported():
+    with pytest.raises(NotImplementedError):
+        parse_from_string("<x/>", "application/xhtml+xml")
+    with pytest.raises(ValueError):
+        parse_from_string("x", "image/png")
+    with pytest.raises(ValueError):
+        parse_from_string("x", "not a mime")
+
+
+def test_bytes_input_with_bom():
+    out = parse(b"\xef\xbb\xbf<!DOCTYPE html><p>caf\xc3\xa9")
+    assert out.encoding == "UTF-8"
+    from html_extract.serializer import serialize
+
+    assert "café" in serialize(out.document)
