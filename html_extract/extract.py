@@ -133,13 +133,10 @@ def extract_from_document(doc):
         if block is None or not block.pieces:
             return
         clean = _norm("".join(block.pieces))
-        block.pieces = []
-        link = block.link_chars
-        block.link_chars = 0
-        saved = _Block(block.tag, block.in_article)
-        saved.link_chars = link
-        if _keep(saved, clean):
+        if _keep(block, clean):
             out.append(("text", clean, ""))
+        block.pieces = []
+        block.link_chars = 0
 
     # Iterative DOM walk (explicit frames): pathological documents nest
     # tens of thousands deep — the skew tail the north rule calls out —
@@ -203,7 +200,7 @@ def extract_spans(data, content_type=None):
     """One HTML payload (str/bytes) -> (spans, meta) where spans is a list
     of (kind, text, media_ref) and meta mirrors the Output record."""
     t0 = time.perf_counter_ns()
-    config = Config(error_collection=True)
+    config = Config(error_collection=True, error_positions=False)
     out = parse(data, content_type=content_type, config=config)
     spans = extract_from_document(out.document)
     n_nodes = _count_nodes(out.document)

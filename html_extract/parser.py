@@ -24,6 +24,9 @@ class Config:
     encoding_fallback: str = "windows-1252"
     encoding_prescan_bytes: int = cs.PRESCAN_DEFAULT
     error_collection: bool = False
+    # line/col resolution + input-stream scans cost ~10% of a parse; the
+    # pipeline only needs error COUNTS, so it turns positions off
+    error_positions: bool = True
     processing_instructions: bool = False
 
 
@@ -158,17 +161,21 @@ def parse(data, content_type=None, config=None) -> Output:
         tok, tb = _parse_once(data, config, enc, True, False)
         restarted = False
     if config.error_collection:
-        # error tuples as (code, line, col) — reference parity with the
-        # [line, column, code] records of lib/Parser/ParseError.php:167;
-        # position tracking only happens when collection is on
-        # (Data.php:56-57 performance gate)
-        norm = _normalize(text)
-        linecol = _LineCol(norm)
-        errors = [
-            (code, *linecol(off))
-            for code, off in _input_stream_errors(norm) + tok.errors
-        ]
-        errors += [(c, -1, -1) for c in tb.errors]
+        if config.error_positions:
+            # error tuples as (code, line, col) — parity with the
+            # [line, column, code] records of ParseError.php:167;
+            # position tracking only happens when collection is on
+            # (Data.php:56-57 performance gate)
+            norm = _normalize(text)
+            linecol = _LineCol(norm)
+            errors = [
+                (code, *linecol(off))
+                for code, off in _input_stream_errors(norm) + tok.errors
+            ]
+            errors += [(c, -1, -1) for c in tb.errors]
+        else:
+            errors = [(code, -1, -1) for code, _ in tok.errors]
+            errors += [(c, -1, -1) for c in tb.errors]
     else:
         errors = []
     return Output(

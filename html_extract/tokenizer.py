@@ -246,22 +246,31 @@ class Tokenizer:
     def _scan_tag(self, p, is_start):
         """Parse a tag from the first name character; emits the tag token."""
         s, n = self.s, self.n
-        name_parts = []
-        while True:
-            m = RE_TAGNAME_END.search(s, p)
-            if m is None:
-                self._err("eof-in-tag", n)
-                self.p = n
-                return [EOF_TOK]
-            q = m.start()
-            name_parts.append(s[p:q])
-            if s[q] == "\x00":
-                self._err("unexpected-null-character", q)
-                name_parts.append(FFFD)
-                p = q + 1
-                continue
-            break
-        name = ascii_lower("".join(name_parts))
+        m = RE_TAGNAME_END.search(s, p)
+        if m is None:
+            self._err("eof-in-tag", n)
+            self.p = n
+            return [EOF_TOK]
+        q = m.start()
+        if s[q] != "\x00":  # fast path: no NUL in the name
+            name = ascii_lower(s[p:q])
+        else:
+            name_parts = []
+            while True:
+                name_parts.append(s[p:q])
+                if s[q] == "\x00":
+                    self._err("unexpected-null-character", q)
+                    name_parts.append(FFFD)
+                    p = q + 1
+                    m = RE_TAGNAME_END.search(s, p)
+                    if m is None:
+                        self._err("eof-in-tag", n)
+                        self.p = n
+                        return [EOF_TOK]
+                    q = m.start()
+                    continue
+                break
+            name = ascii_lower("".join(name_parts))
         attrs, self_closing, endp, eof = self._scan_attrs(q)
         if eof:
             self.p = n
@@ -305,32 +314,41 @@ class Tokenizer:
                 p += 1
                 continue
             # attribute name
-            parts = []
-            if c == "=":
-                self._err("unexpected-equals-sign-before-attribute-name", p)
-                parts.append("=")
-                p += 1
-            while True:
-                m = RE_ATTRNAME_END.search(s, p)
-                if m is None:
-                    parts.append(s[p:n])
-                    self._err("eof-in-tag", n)
-                    return attrs, False, n, True
+            m = RE_ATTRNAME_END.search(s, p if c != "=" else p + 1)
+            if m is not None and s[m.start()] not in '\x00"\'<' and c != "=":
+                # fast path: plain name, no weird characters
                 q = m.start()
-                parts.append(s[p:q])
-                cq = s[q]
-                if cq == "\x00":
-                    self._err("unexpected-null-character", q)
-                    parts.append(FFFD)
-                    p = q + 1
-                elif cq in "\"'<":
-                    self._err("unexpected-character-in-attribute-name", q)
-                    parts.append(cq)
-                    p = q + 1
-                else:
-                    p = q
-                    break
-            aname = ascii_lower("".join(parts))
+                aname = ascii_lower(s[p:q])
+                p = q
+            else:
+                parts = []
+                if c == "=":
+                    self._err(
+                        "unexpected-equals-sign-before-attribute-name", p
+                    )
+                    parts.append("=")
+                    p += 1
+                while True:
+                    m = RE_ATTRNAME_END.search(s, p)
+                    if m is None:
+                        parts.append(s[p:n])
+                        self._err("eof-in-tag", n)
+                        return attrs, False, n, True
+                    q = m.start()
+                    parts.append(s[p:q])
+                    cq = s[q]
+                    if cq == "\x00":
+                        self._err("unexpected-null-character", q)
+                        parts.append(FFFD)
+                        p = q + 1
+                    elif cq in "\"'<":
+                        self._err("unexpected-character-in-attribute-name", q)
+                        parts.append(cq)
+                        p = q + 1
+                    else:
+                        p = q
+                        break
+                aname = ascii_lower("".join(parts))
             # after attribute name
             while p < n and s[p] in WS_SET:
                 p += 1
@@ -358,6 +376,15 @@ class Tokenizer:
             if c == '"' or c == "'":
                 rex = RE_ATTRVAL_DQ if c == '"' else RE_ATTRVAL_SQ
                 p += 1
+                m = rex.search(s, p)
+                if m is not None and s[m.start()] == c:
+                    # fast path: plain quoted value (no & or NUL)
+                    q = m.start()
+                    self._store_attr(attrs, aname, s[p:q], q)
+                    p = q + 1
+                    if p < n and s[p] not in WS_SET and s[p] not in "/>":
+                        self._err("missing-whitespace-between-attributes", p)
+                    continue
                 vparts = []
                 while True:
                     m = rex.search(s, p)

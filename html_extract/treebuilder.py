@@ -139,6 +139,7 @@ class TreeBuilder:
         self.fragment_context = fragment_context  # (ns, name) or None
         self.context_element = None
         self.on_meta = None  # callback(attrs) for <meta>, set by Parser
+        self._pending = []  # pushed-back tokens (<pre> newline lookahead)
         self.quirks_mode = NO_QUIRKS
         tokenizer.cdata_allowed = self._cdata_allowed
         if fragment_context is not None:
@@ -450,7 +451,21 @@ class TreeBuilder:
     _pending: list = []
 
     def _process(self, tok):
-        self._pending = []
+        if self._pending:
+            self._pending = []
+        # fast path: the overwhelmingly common single-dispatch case
+        if not self._dispatch_foreign(tok):
+            kind = tok[0]
+            if kind == "Null":
+                # data-state U+0000 (NullCharacterToken): error + ignore
+                # in every HTML insertion mode that can see one
+                self._err("unexpected-null-character")
+                return
+            if MODE_TABLE[self.mode](self, tok) is not _REPROCESS:
+                return
+        else:
+            if self._foreign(tok) is not _REPROCESS:
+                return
         guard = 0
         while True:
             guard += 1
@@ -458,11 +473,6 @@ class TreeBuilder:
                 raise RuntimeError("token reprocessing loop exceeded cap")
             if self._dispatch_foreign(tok):
                 done = self._foreign(tok)
-            elif tok[0] == "Null":
-                # data-state U+0000 (NullCharacterToken): error + ignore in
-                # every HTML insertion mode that can see one
-                self._err("unexpected-null-character")
-                done = None
             else:
                 done = MODE_TABLE[self.mode](self, tok)
             if done is not _REPROCESS:
