@@ -1,0 +1,56 @@
+"""Property tests: the parser must never crash, must be deterministic,
+and extraction output must be well-formed for arbitrary input."""
+
+from hypothesis import given, settings, strategies as st
+
+from html_extract.extract import extract_spans, process_document
+from html_extract.parser import parse
+from html_extract.serializer import serialize
+
+# strings biased toward markup-significant characters and constructs
+_tokens = st.sampled_from(
+    list("<>&;/!-=\"' abcdefgABC\t\n\x0c\x00[]?#xX0123456789")
+    + [
+        "<!--", "-->", "<![CDATA[", "]]>", "</", "<!DOCTYPE", "&amp",
+        "&#", "<script>", "<table>", "<b>", "<p>", "</b>", "<svg>",
+        "<template>", "<select>", "<title>", "&#x41;", "<li>", "<tr>",
+    ]
+)
+markup = st.lists(_tokens, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(markup)
+def test_parse_never_crashes_and_is_deterministic(s):
+    out1 = parse(s)
+    out2 = parse(s)
+    assert serialize(out1.document) == serialize(out2.document)
+
+
+@settings(max_examples=150, deadline=None)
+@given(markup)
+def test_extract_spans_well_formed(s):
+    spans, meta = extract_spans(s)
+    for kind, text, ref in spans:
+        assert kind in ("text", "media")
+        assert isinstance(text, str) and isinstance(ref, str)
+        if kind == "text":
+            assert text == text.strip()
+    assert meta["n_nodes"] >= 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(markup, markup)
+def test_process_document_order_contiguous(a, b):
+    out, _ = process_document(
+        "doc-x", [("html", a, ""), ("text", b, ""), ("media", "", "m://1")]
+    )
+    assert [s[3] for s in out] == list(range(len(out)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_bytes_input_never_crashes(raw):
+    out = parse(raw)
+    assert out.encoding
+    serialize(out.document)
