@@ -375,6 +375,118 @@ def _shard_stats(shard_dir: str) -> dict:
     }
 
 
+def span_fingerprints(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, fp) where fp hashes the ordered (kind, text, media_ref,
+    order) sequence — the unit of the north-rule invariant."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        spans = t["spans"].to_pylist()
+        fps = []
+        for row in spans:
+            h = hashlib.md5()
+            for s in row:
+                h.update(
+                    f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1f{s['order']}\x1e".encode()
+                )
+            fps.append(h.hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "fp": pa.array(fps)}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def conformance_diff(sf_dir, num_partitions: int = 16) -> rd.Dataset:
+    """Ray-scale span-equality audit (SURVEY.md §2.3 'Conformance diff').
+
+    Joins the distributed pipeline's span fingerprints against an
+    independent oracle pass (plain tasks re-running the single-process
+    extractor) hash-partitioned on doc_id, and returns the mismatching
+    rows — empty when the invariant holds.  This is the at-scale
+    version of the per-row pytest check: it additionally catches
+    plumbing corruption (batch slicing, Arrow conversion, shard
+    routing) that a single-process comparison cannot.
+    """
+    engine = span_fingerprints(extracted_dataset(sf_dir))
+
+    def oracle(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        spans_in = t["spans"].to_pylist()
+        fps = []
+        for doc_id, row in zip(ids, spans_in):
+            spans, _ = process_document(
+                doc_id, [(s["kind"], s["text"], s["media_ref"]) for s in row]
+            )
+            h = hashlib.md5()
+            for k, txt, m, o in spans:
+                h.update(f"{k}\x1f{txt}\x1f{m}\x1f{o}\x1e".encode())
+            fps.append(h.hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "fp": pa.array(fps)}
+        )
+
+    ref = interleaved_dataset(sf_dir).map_batches(
+        oracle, batch_format="pyarrow"
+    )
+    joined = engine.join(
+        ref,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        left_suffix="_engine",
+        right_suffix="_oracle",
+    )
+
+    def mismatches(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.equal(t["fp_engine"], t["fp_oracle"]))
+        )
+
+    return joined.map_batches(mismatches, batch_format="pyarrow")
+
+
+def reserialized(sf_dir) -> rd.Dataset:
+    """Serializer as a pipeline stage (reference S5): parse each html
+    span and re-emit spec-serialized HTML — the round-trip surface."""
+    from .parser import parse
+    from .serializer import serialize
+
+    def rt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        spans = t["spans"].to_pylist()
+        out_ids, html = [], []
+        for doc_id, row in zip(ids, spans):
+            for s in row:
+                if s["kind"] == "html":
+                    out_ids.append(doc_id)
+                    html.append(serialize(parse(s["text"]).document))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "html": pa.array(html, pa.string()),
+            }
+        )
+
+    return interleaved_dataset(sf_dir).map_batches(
+        rt, batch_format="pyarrow", batch_size=64
+    )
+
+
+def dedup_output(ds: rd.Dataset) -> rd.Dataset:
+    """Duplicate-doc_id guard for resumed/unioned outputs (SURVEY.md
+    §2.3): hash-partition on doc_id, keep one row per id.  Uses the
+    keyed groupby (the shuffle is the point — co-locate same ids)."""
+
+    def first(g):
+        return g.head(1)
+
+    return ds.groupby("doc_id").map_groups(first, batch_format="pandas")
+
+
 def spans_flat(ds: rd.Dataset) -> rd.Dataset:
     """Explode extracted spans to one row per span (doc_id, kind, text,
     media_ref, order) — the SQL-comparable projection of the output."""

@@ -89,3 +89,33 @@ def test_spans_flat_projection():
     flat = P.spans_flat(P.extracted_dataset(SF_DIR))
     t = flat.take(5)
     assert {"doc_id", "kind", "text", "media_ref", "ord"} <= set(t[0].keys())
+
+
+def test_conformance_diff_empty():
+    """At-scale span-equality audit: engine join oracle -> no mismatches."""
+    from html_extract import pipeline as P
+
+    diff = P.conformance_diff(SF_DIR, num_partitions=4)
+    assert diff.count() == 0
+
+
+def test_reserialized_roundtrip_stable():
+    from html_extract import pipeline as P
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    rows = P.reserialized(SF_DIR).take(5)
+    for r in rows:
+        # serialize(parse(.)) is a fixed point on already-serialized HTML
+        assert serialize(parse(r["html"]).document) == r["html"]
+
+
+def test_dedup_output_guard():
+    import ray.data as rd
+    from html_extract import pipeline as P
+
+    ds = rd.from_items(
+        [{"doc_id": "a", "v": 1}, {"doc_id": "a", "v": 1}, {"doc_id": "b", "v": 2}]
+    )
+    out = P.dedup_output(ds).to_pandas()
+    assert sorted(out["doc_id"]) == ["a", "b"]
