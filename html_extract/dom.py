@@ -63,12 +63,20 @@ class Doctype(Node):
 
 
 class Element(Node):
-    __slots__ = ("name", "namespace", "attrs", "attr_ns", "template_content")
+    __slots__ = (
+        "name",
+        "namespace",
+        "attrs",
+        "attr_ns",
+        "template_content",
+        "skey",
+    )
 
     def __init__(self, name, namespace=HTML_NS, attrs=None):
         super().__init__()
         self.name = name
         self.namespace = namespace
+        self.skey = (namespace, name)  # precomputed scope-lookup key
         # attrs: qualified display name -> value (insertion-ordered)
         self.attrs = attrs if attrs is not None else {}
         # attr_ns: qualified name -> (ns_uri, prefix, localname) for

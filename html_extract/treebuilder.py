@@ -190,13 +190,19 @@ class TreeBuilder:
 
     def _in_scope(self, target, scope=DEFAULT_SCOPE):
         """target: tag name (HTML ns) or frozenset of names."""
-        multi = not isinstance(target, str)
+        if isinstance(target, str):
+            key = (HTML_NS, target)
+            for el in reversed(self.stack):
+                skey = el.skey
+                if skey == key:
+                    return True
+                if skey in scope:
+                    return False
+            return False
         for el in reversed(self.stack):
-            if el.namespace == HTML_NS and (
-                (el.name in target) if multi else (el.name == target)
-            ):
+            if el.namespace == HTML_NS and el.name in target:
                 return True
-            if (el.namespace, el.name) in scope:
+            if el.skey in scope:
                 return False
         return False
 
@@ -204,7 +210,7 @@ class TreeBuilder:
         for el in reversed(self.stack):
             if el is element:
                 return True
-            if (el.namespace, el.name) in scope:
+            if el.skey in scope:
                 return False
         return False
 
