@@ -18,7 +18,6 @@ Design rules applied throughout (see ray_guide / SURVEY.md §4):
 import hashlib
 import os
 import re
-import struct
 
 import numpy as np
 import pandas as pd
@@ -26,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _path(sf_dir, name):
