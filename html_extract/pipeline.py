@@ -99,12 +99,21 @@ class InterleaveAdapter:
     html bytes — the skew-defusing block shaping described above.
     """
 
-    def __init__(self, slice_bytes: int = ADAPTER_SLICE_BYTES, replicate: int = 1):
+    def __init__(
+        self,
+        slice_bytes: int = ADAPTER_SLICE_BYTES,
+        replicate: int = 1,
+        mode: str = "rich",
+    ):
         self.slice_bytes = slice_bytes
         # replicate>1 synthesizes R distinct documents per source row
         # (distinct doc_id seeds -> distinct HTML); used by bench runs to
         # scale work deterministically without external data
         self.replicate = replicate
+        # "rich": template-grammar page per FIXTURES.md §1 (exercises the
+        # parser); "plain": the raw text as one kind="html" span (the
+        # FIXTURES stand-in shape)
+        self.mode = mode
 
     def __call__(self, batch: pa.Table):
         ids = batch["doc_id"].to_pylist()
@@ -115,7 +124,10 @@ class InterleaveAdapter:
             for rep in range(self.replicate):
                 did = did0 + rep * 10_000_000
                 doc_id = f"doc-{did:012d}"
-                spans = make_interleaved_spans(doc_id, text or "")
+                if self.mode == "plain":
+                    spans = [("html", text or "", "", 0)]
+                else:
+                    spans = make_interleaved_spans(doc_id, text or "")
                 n_bytes = sum(len(s[1]) + len(s[2]) for s in spans)
                 rows_ids.append(doc_id)
                 rows_spans.append(
@@ -231,11 +243,11 @@ class ExtractActor:
 
 
 def interleaved_dataset(
-    sf_dir, shard=None, num_shards=None, replicate: int = 1
+    sf_dir, shard=None, num_shards=None, replicate: int = 1, mode: str = "rich"
 ) -> rd.Dataset:
     ds = load_documents(sf_dir, shard, num_shards)
     return ds.map_batches(
-        InterleaveAdapter(replicate=replicate),
+        InterleaveAdapter(replicate=replicate, mode=mode),
         batch_format="pyarrow",
         batch_size=256,
     )

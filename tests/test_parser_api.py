@@ -80,3 +80,43 @@ def test_bytes_input_with_bom():
     from html_extract.serializer import serialize
 
     assert "café" in serialize(out.document)
+
+
+def test_crlf_normalization():
+    out = parse("<pre>a\r\nb\rc</pre>")
+    from html_extract.serializer import serialize
+
+    s = serialize(out.document)
+    assert "\r" not in s
+    assert "a\nb\nc" in s
+
+
+def test_crlf_error_positions():
+    config = Config(error_collection=True)
+    out = parse("x\r\n<b//>", config=config)
+    assert any(
+        c == "unexpected-solidus-in-tag" and l == 2 for c, l, _ in out.errors
+    )
+
+
+def test_cli_parse_and_serialize():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "html_extract", "serialize"],
+        input=b"<p>x",
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    assert r.stdout.strip() == b"<html><head></head><body><p>x</p></body></html>"
+    r = subprocess.run(
+        [sys.executable, "-m", "html_extract", "parse"],
+        input=b"<article><p>A paragraph long enough for the density scoring to keep around.</p></article>",
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    import json
+
+    rows = [json.loads(l) for l in r.stdout.splitlines()]
+    assert rows and rows[0]["kind"] == "text"

@@ -119,3 +119,12 @@ def test_dedup_output_guard():
     )
     out = P.dedup_output(ds).to_pandas()
     assert sorted(out["doc_id"]) == ["a", "b"]
+
+
+def test_plain_adapter_mode():
+    from html_extract import pipeline as P
+
+    ds = P.interleaved_dataset(SF_DIR, mode="plain")
+    row = ds.take(1)[0]
+    assert len(row["spans"]) == 1
+    assert row["spans"][0]["kind"] == "html"
