@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": D.minhash_dedup,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dups": D.embedding_near_dups,
+        "ann_topk_lsh": D.ann_topk_lsh,
         "langid": D.langid,
         "user_sessions": D.user_sessions,
         "stopword_counts": D.stopword_counts,

@@ -487,24 +487,79 @@ def simhash_fingerprints(sf_dir) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas", batch_size=1024)
 
 
-def embedding_near_dups(sf_dir, threshold_pct=95) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (brute force at test scale; the
-    scale path buckets by LSH hyperplane signs first)."""
-    emb = pd.read_parquet(_path(sf_dir, "embeddings"))
+def _load_normalized_embeddings(sf_dir):
+    emb = pd.read_parquet(_path(sf_dir, "embeddings")).sort_values(
+        "vec_id", ignore_index=True
+    )
     M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    Mn = M / norms
-    sims = Mn @ Mn.T
-    ids = emb["vec_id"].to_numpy()
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] * 100 >= threshold_pct
-    return pd.DataFrame(
-        {
-            "a": ids[iu[0][mask]],
-            "b": ids[iu[1][mask]],
-        }
+    return emb["vec_id"].to_numpy(), M / norms
+
+
+def embedding_near_dups(sf_dir, threshold_pct=95) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs: the full normalized matrix is
+    broadcast once (ray.put) and each batch computes its block of the
+    similarity matrix — a row-blocked matmul, not a shuffle.  At 10^12
+    scale the matrix side is replaced by an LSH/IVF bucket index
+    (``ann_topk_lsh`` shows the bucketing); the batch kernel is the same.
+    """
+    ids_all, Mn = _load_normalized_embeddings(sf_dir)
+    ref = ray.put((ids_all, Mn))
+
+    class BlockSim:
+        def __init__(self):
+            self.ids_all, self.Mn = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            rows = np.searchsorted(self.ids_all, np.sort(vec_ids))
+            block = self.Mn[rows]
+            sims = block @ self.Mn.T
+            a_out, b_out = [], []
+            srt = np.sort(vec_ids)
+            for i, vid in enumerate(srt):
+                hits = np.where(sims[i] * 100 >= threshold_pct)[0]
+                for j in hits:
+                    other = int(self.ids_all[j])
+                    if other > int(vid):  # upper triangle only
+                        a_out.append(int(vid))
+                        b_out.append(other)
+            return pa.table(
+                {
+                    "a": pa.array(a_out, pa.int64()),
+                    "b": pa.array(b_out, pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    return (
+        ds.map_batches(
+            BlockSim, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
     )
+
+
+def ann_topk_lsh(sf_dir, n_queries=5, k=10, n_planes=6) -> pd.DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path for ``ann_topk``):
+    random-hyperplane signs bucket the corpus; each query searches only
+    its own bucket.  Deterministic planes (fixed seed).  Approximate by
+    construction — quality is judged by recall vs the brute-force
+    baseline (see tests), cost by candidate count."""
+    ids_all, Mn = _load_normalized_embeddings(sf_dir)
+    dim = Mn.shape[1]
+    planes = np.random.RandomState(0xA11CE).normal(size=(dim, n_planes))
+    codes = (Mn @ planes > 0) @ (1 << np.arange(n_planes))
+    rows = []
+    for qi in range(min(n_queries, len(ids_all))):
+        bucket = np.where(codes == codes[qi])[0]
+        sims = Mn[bucket] @ Mn[qi]
+        order = np.lexsort((ids_all[bucket], -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((int(ids_all[qi]), int(ids_all[bucket[j]]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,37 @@ def test_orders_by_nation_matches_pandas():
     )
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
+
+
+def test_embedding_near_dups_finds_planted_pair(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(7)
+    M = rng.normal(size=(20, 16)).astype(np.float32)
+    M[5] = M[3] + rng.normal(scale=1e-3, size=16)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in M], pa.list_(pa.float32())),
+            "label": pa.array([0] * 20, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    pairs = D.embedding_near_dups(str(tmp_path), threshold_pct=95)
+    assert (3, 5) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_ann_lsh_structure_and_self_hit():
+    from html_extract import dataops as D
+
+    out = D.ann_topk_lsh(SF)
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+    firsts = out[out["rank"] == 1]
+    # a query is always in its own bucket -> self is its top hit
+    assert (firsts["query_id"] == firsts["neighbor_id"]).all()
+    # and the result is deterministic
+    assert out.equals(D.ann_topk_lsh(SF))
