@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": D.token_counts,
         "quality_scores": D.quality_scores,
         "doc_fingerprints": D.doc_fingerprints,
+        "normalized_text": D.normalized_text,
         "exact_dedup": D.exact_dedup,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
@@ -126,6 +127,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "normalized_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+                       AS norm
+            FROM documents
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

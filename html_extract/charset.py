@@ -390,6 +390,13 @@ def detect(data: bytes, transport_charset=None, default="windows-1252"):
 
 
 def decode(data: bytes, canonical: str) -> str:
+    if canonical == "x-user-defined":
+        # WHATWG x-user-defined: 0x80-0xFF -> U+F780..U+F7FF (private use)
+        return data.decode("ascii", errors="ignore") if data.isascii() else (
+            "".join(
+                chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in data
+            )
+        )
     codec = codec_for(canonical)
     if codec is None:  # the replacement encoding
         return "�"

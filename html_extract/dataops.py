@@ -257,6 +257,28 @@ def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
     return agg.head(k).astype({"n": "int64"})
 
 
+def normalized_text(sf_dir) -> rd.Dataset:
+    """Unicode NFC + whitespace-collapse + trim per document — the
+    canonical text-cleaning stage before tokenization/dedup."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "norm": [
+                    ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def doc_fingerprints(sf_dir) -> rd.Dataset:
     """Content fingerprint per doc (md5 — matches SQL md5())."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -86,3 +86,18 @@ def test_mid_parse_encoding_change_restart():
     out = parse(raw)
     assert out.encoding == "KOI8-R"
     assert out.restarted
+
+
+def test_every_registry_codec_decodes():
+    import codecs
+
+    for canon, codec in cs._CANON_CODEC.items():
+        if codec is None or canon == "x-user-defined":
+            continue
+        assert codecs.lookup(codec), canon
+        assert isinstance(cs.decode(b"abc", canon), str)
+
+
+def test_x_user_defined_decoding():
+    # WHATWG x-user-defined maps high bytes into U+F780..U+F7FF
+    assert cs.decode(b"a\x80\xff", "x-user-defined") == "a\uf780\uf7ff"
