@@ -555,13 +555,12 @@ def embedding_near_dups(sf_dir, threshold_pct=95) -> pd.DataFrame:
             )
 
     ds = _read(sf_dir, "embeddings", ["vec_id"])
-    return (
-        ds.map_batches(
-            BlockSim, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
-        )
-        .to_pandas()
-        .sort_values(["a", "b"], ignore_index=True)
-    )
+    out = ds.map_batches(
+        BlockSim, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    ).to_pandas()
+    if "a" not in out.columns:  # no pairs anywhere -> schema-less empty df
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"], ignore_index=True)
 
 
 def ann_topk_lsh(sf_dir, n_queries=5, k=10, n_planes=6) -> pd.DataFrame:
