@@ -17,7 +17,9 @@ def _collect():
     for path in sorted(glob.glob(str(CORPUS / "tree-construction" / "*.dat"))):
         fname = os.path.basename(path)
         pi = fname.startswith("pi")
+        vendored = fname.startswith(("mensbeam", "pi"))
         for i, case in enumerate(load_tree_tests(path)):
+            case["vendored"] = vendored
             label = case["data"][:35].replace("\n", "\\n")
             cases.append(pytest.param(case, pi, id=f"{fname}:{i}:{label}"))
     return cases
@@ -32,6 +34,13 @@ def test_tree_case(case, pi):
     else:
         out = parse(case["data"], config=config)
         got = serialize_test_format(out.document)
+        if case["vendored"]:
+            # error COUNTS are authoritative in the vendored corpus
+            # (TestTreeConstructor.php:134-135 checks counts, not codes)
+            assert len(out.errors) == case["n_errors"], (
+                f"error count {len(out.errors)} != {case['n_errors']} "
+                f"for {case['data']!r}: {out.errors}"
+            )
     assert got == case["expected"], (
         f"input: {case['data']!r}\n--- got ---\n{got}\n--- want ---\n{case['expected']}"
     )
