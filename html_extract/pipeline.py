@@ -344,7 +344,9 @@ def run_pipeline(
             import shutil
 
             shutil.rmtree(tmp_dir)
-        out.write_parquet(tmp_dir)
+        from .io_lance import write_dataset
+
+        write_dataset(out, tmp_dir)
         if os.path.exists(shard_dir):
             import shutil
 

@@ -33,6 +33,15 @@ _ESC_TEXT = str.maketrans(
 )
 _ESC_ATTR = str.maketrans({"&": "&amp;", "\xa0": "&nbsp;", '"': "&quot;"})
 
+# Boolean attributes for the optional value-omission mode (reference
+# Serializer.php:22-53 $boolAttr; the set is public HTML spec data)
+BOOLEAN_ATTRIBUTES = frozenset(
+    """allowfullscreen async autofocus autoplay checked controls default
+    defer disabled formnovalidate hidden inert ismap itemscope loop multiple
+    muted nomodule novalidate open playsinline readonly required reversed
+    selected""".split()
+)
+
 # HTML-ns elements whose text children serialize raw.  noscript is raw
 # only when scripting is on (Serializer.php:21,346-356); this engine is
 # permanently scripting-off, so noscript text is escaped.
@@ -53,7 +62,7 @@ def _attr_name(el, qname):
     return f"{prefix}:{local}" if prefix else local
 
 
-def _serialize_node(node, out):
+def _serialize_node(node, out, bool_attr=False):
     # Iterative (explicit stack): survives pathologically deep documents
     # that would blow Python's recursion limit.  Literal strings on the
     # stack are emitted as-is (used for deferred end tags).
@@ -70,6 +79,13 @@ def _serialize_node(node, out):
             for qname, value in item.attrs.items():
                 out.append(" ")
                 out.append(_attr_name(item, qname))
+                if (
+                    bool_attr
+                    and item.namespace == HTML_NS
+                    and qname in BOOLEAN_ATTRIBUTES
+                    and value in ("", qname)
+                ):
+                    continue  # value omitted (Serializer.php:264-277)
                 out.append('="')
                 out.append(value.translate(_ESC_ATTR))
                 out.append('"')
@@ -103,14 +119,18 @@ def _serialize_node(node, out):
             stack.extend(reversed(item.children))
 
 
-def serialize(node) -> str:
-    """outerHTML: the node itself plus its subtree."""
+def serialize(node, bool_attr: bool = False) -> str:
+    """outerHTML: the node itself plus its subtree.
+
+    ``bool_attr=True`` omits values of known boolean attributes
+    (reference Serializer option, Serializer.php:22-53).
+    """
     out = []
-    _serialize_node(node, out)
+    _serialize_node(node, out, bool_attr)
     return "".join(out)
 
 
-def serialize_inner(node) -> str:
+def serialize_inner(node, bool_attr: bool = False) -> str:
     """innerHTML: children only (template elements: their contents)."""
     out = []
     kids = (
@@ -119,5 +139,5 @@ def serialize_inner(node) -> str:
         else node.children
     )
     for child in kids:
-        _serialize_node(child, out)
+        _serialize_node(child, out, bool_attr)
     return "".join(out)

@@ -133,3 +133,16 @@ def test_serializer_case(tree, expected):
     root = parse_tree_format(tree)
     got = serialize_inner(root)
     assert got == expected
+
+
+def test_boolean_attribute_omission():
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    doc = parse('<input type="text" disabled="" required="required" data-x="">').document
+    full = serialize(doc)
+    compact = serialize(doc, bool_attr=True)
+    assert 'disabled=""' in full and 'required="required"' in full
+    assert " disabled " in compact or compact.count("disabled") == 1
+    assert 'required="' not in compact
+    assert 'data-x=""' in compact  # non-boolean attrs keep their values
