@@ -66,21 +66,42 @@ def documents_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _document_files(sf_dir: str):
+    """The corpus is either one parquet file (driver testdata) or a
+    directory of part files (the 100 TB layout)."""
+    single = documents_path(sf_dir)
+    if os.path.isfile(single):
+        return [single]
+    as_dir = os.path.join(sf_dir, "documents")
+    if os.path.isdir(as_dir):
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(as_dir, "*.parquet")))
+    raise FileNotFoundError(single)
+
+
 def load_documents(sf_dir: str, shard=None, num_shards=None) -> rd.Dataset:
-    """Driver documents table, pruned to the two columns the adapter needs."""
+    """Driver documents table, pruned to the two columns the adapter needs.
+
+    Sharding: with a multi-file corpus each shard reads ONLY its own
+    file subset (no re-reading); a single-file corpus falls back to a
+    doc_id-hash filter.
+    """
     import ray
 
-    path = documents_path(sf_dir)
+    files = _document_files(sf_dir)
+    if shard is not None and num_shards and len(files) >= num_shards:
+        files = files[shard::num_shards]
+        shard = None  # file-level sharding replaces the hash filter
+    total = sum(os.path.getsize(f) for f in files)
     kwargs = {}
-    if os.path.getsize(path) <= (1 << 30):
+    if total <= (1 << 30):
         # small input: cap read blocks at the CPU count — Ray's ~200-block
         # default turns downstream stages into empty-block task storms
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         kwargs["override_num_blocks"] = max(4, min(cpus, 64))
-    ds = rd.read_parquet(path, columns=["doc_id", "text"], **kwargs)
+    ds = rd.read_parquet(files, columns=["doc_id", "text"], **kwargs)
     if shard is not None and num_shards:
-        # hash-sharding for resume; at real scale shards map to file
-        # subsets so each shard reads only its own fragments
         def pick(t: pa.Table) -> pa.Table:
             import numpy as np
 

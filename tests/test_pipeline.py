@@ -128,3 +128,30 @@ def test_plain_adapter_mode():
     row = ds.take(1)[0]
     assert len(row["spans"]) == 1
     assert row["spans"][0]["kind"] == "html"
+
+
+def test_multifile_corpus_file_level_sharding(tmp_path):
+    """100TB layout: documents/ dir of part files; shards read disjoint
+    file subsets and the union covers everything exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from html_extract import pipeline as P
+
+    d = tmp_path / "documents"
+    d.mkdir()
+    for part in range(4):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(part * 10, part * 10 + 10), pa.int64()),
+                "text": pa.array([f"doc {i} words here" for i in range(10)]),
+            }
+        )
+        pq.write_table(tbl, d / f"part-{part}.parquet")
+    seen = []
+    for s in range(2):
+        ds = P.load_documents(str(tmp_path), shard=s, num_shards=2)
+        seen.extend(r["doc_id"] for r in ds.take_all())
+    assert sorted(seen) == sorted(
+        list(range(0, 10)) + list(range(10, 20)) + list(range(20, 30)) + list(range(30, 40))
+    )
+    assert len(seen) == len(set(seen))
