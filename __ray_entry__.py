@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": D.quality_scores,
         "doc_fingerprints": D.doc_fingerprints,
         "normalized_text": D.normalized_text,
+        "word_frequencies": D.word_frequencies,
         "exact_dedup": D.exact_dedup,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
@@ -133,6 +134,13 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
                        AS norm
             FROM documents
+        """,
+        "word_frequencies": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word LIMIT 50
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -257,6 +257,25 @@ def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
     return agg.head(k).astype({"n": "int64"})
 
 
+def word_frequencies(sf_dir, k: int = 50) -> pd.DataFrame:
+    """Global top-k word counts (the canonical distributed wordcount:
+    vectorized count per batch -> tiny combine -> top-k; ties broken by
+    word for determinism)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "word" in df.columns:
+            return df.groupby("word", as_index=False).agg(n=("n", "sum"))
+        words = df["text"].str.split().explode()
+        g = words.value_counts().reset_index()
+        g.columns = ["word", "n"]
+        return g
+
+    agg = _tree_agg(ds, partial).to_pandas()
+    agg = agg.sort_values(["n", "word"], ascending=[False, True], ignore_index=True)
+    return agg.head(k).astype({"n": "int64"})
+
+
 def normalized_text(sf_dir) -> rd.Dataset:
     """Unicode NFC + whitespace-collapse + trim per document — the
     canonical text-cleaning stage before tokenization/dedup."""
