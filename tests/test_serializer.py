@@ -146,3 +146,37 @@ def test_boolean_attribute_omission():
     assert " disabled " in compact or compact.count("disabled") == 1
     assert 'required="' not in compact
     assert 'data-x=""' in compact  # non-boolean attrs keep their values
+
+
+def test_template_contents_serialize():
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    doc = parse("<template><b>x</b></template>").document
+    assert "<template><b>x</b></template>" in serialize(doc)
+
+
+def test_foreign_attr_names_serialize():
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    doc = parse('<svg><a xlink:href="u" xml:lang="en"/></svg>').document
+    s = serialize(doc)
+    assert 'xlink:href="u"' in s and 'xml:lang="en"' in s
+
+
+def test_pi_serializes_when_enabled():
+    from html_extract.parser import Config, parse
+    from html_extract.serializer import serialize
+
+    doc = parse("<?xml-stylesheet href='a'?>", config=Config(processing_instructions=True)).document
+    assert "<?xml-stylesheet href='a'?>" in serialize(doc)
+
+
+def test_svg_camelcase_tags_serialize():
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    doc = parse("<svg><lineargradient/><feblend/></svg>").document
+    s = serialize(doc)
+    assert "<linearGradient>" in s and "<feBlend>" in s
