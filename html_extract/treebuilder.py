@@ -342,11 +342,35 @@ class TreeBuilder:
 
     def _insert_html_element(self, name, attrs, ns=HTML_NS):
         el = Element(name, ns, attrs)
-        self._insert_at(el, self._appropriate_place())
+        if not self.foster_parenting:
+            # fast path: fresh node appended to the current node
+            parent = self.stack[-1]
+            tc = parent.template_content
+            if tc is not None:
+                parent = tc
+            el.parent = parent
+            parent.children.append(el)
+        else:
+            self._insert_at(el, self._appropriate_place())
         self.stack.append(el)
         return el
 
     def _insert_text(self, data, override=None):
+        if not self.foster_parenting and override is None:
+            # fast path: append/coalesce at the current node
+            parent = self.stack[-1]
+            tc = parent.template_content
+            if tc is not None:
+                parent = tc
+            kids = parent.children
+            last = kids[-1] if kids else None
+            if type(last) is Text:
+                last.data += data
+            else:
+                t = Text(data)
+                t.parent = parent
+                kids.append(t)
+            return
         parent, before = self._appropriate_place(override)
         if isinstance(parent, Document):
             return  # dropped (spec: cannot insert text into a Document)
