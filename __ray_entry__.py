@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": D.doc_fingerprints,
         "normalized_text": D.normalized_text,
         "word_frequencies": D.word_frequencies,
+        "lineitem_pricing_summary": D.lineitem_pricing_summary,
         "exact_dedup": D.exact_dedup,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
@@ -141,6 +142,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY word
             ORDER BY n DESC, word LIMIT 50
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY 1, 2
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -257,6 +257,30 @@ def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
     return agg.head(k).astype({"n": "int64"})
 
 
+def lineitem_pricing_summary(sf_dir) -> rd.Dataset:
+    """TPC-H Q1-shaped aggregate over the largest driver table
+    (integer-safe: quantities are integral; money stays out of the
+    hash-compared columns).  Pre-aggregated per batch, tiny combine."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "n_items" in df.columns:
+            return df.groupby(
+                ["l_returnflag", "l_linestatus"], as_index=False
+            ).agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+        g["sum_qty"] = g["sum_qty"].astype("int64")
+        return g
+
+    return _tree_agg(ds, partial)
+
+
 def word_frequencies(sf_dir, k: int = 50) -> pd.DataFrame:
     """Global top-k word counts (the canonical distributed wordcount:
     vectorized count per batch -> tiny combine -> top-k; ties broken by
