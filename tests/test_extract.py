@@ -83,3 +83,45 @@ def test_deterministic():
     a = extract_spans(ARTICLE)
     b = extract_spans(ARTICLE)
     assert a[0] == b[0]
+
+
+NEWS_PAGE = (
+    '<!DOCTYPE html><html><head><title>Quarterly Results</title></head><body>'
+    '<nav><a href="/">Home</a><a href="/biz">Business</a></nav>'
+    '<main><article>'
+    '<h1>Acme Reports Strong Quarter</h1>'
+    '<p>Acme Corporation announced record revenue this quarter, beating '
+    'analyst expectations by a wide margin across all segments.</p>'
+    '<img src="mem://chart/1" alt="Revenue chart">'
+    '<p>The company credited growth in its cloud division, which has '
+    'doubled year over year according to the earnings release.</p>'
+    '</article></main>'
+    '<footer><p>Contact us at example.com for syndication rights and '
+    'other inquiries about this material.</p></footer>'
+    '</body></html>'
+)
+
+
+def test_exact_span_golden():
+    """Frozen end-to-end golden: exact ordered spans for a realistic page."""
+    spans, meta = extract_spans(NEWS_PAGE)
+    assert spans == [
+        ("text", "Quarterly Results", ""),
+        ("text", "Acme Reports Strong Quarter", ""),
+        (
+            "text",
+            "Acme Corporation announced record revenue this quarter, "
+            "beating analyst expectations by a wide margin across all "
+            "segments.",
+            "",
+        ),
+        ("media", "Revenue chart", "mem://chart/1"),
+        (
+            "text",
+            "The company credited growth in its cloud division, which has "
+            "doubled year over year according to the earnings release.",
+            "",
+        ),
+    ]
+    assert meta["quirks_mode"] == 0
+    assert meta["encoding"] == "UTF-8"
