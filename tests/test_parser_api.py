@@ -120,3 +120,19 @@ def test_cli_parse_and_serialize():
 
     rows = [json.loads(l) for l in r.stdout.splitlines()]
     assert rows and rows[0]["kind"] == "text"
+
+
+def test_compat_facade_matches_reference_shapes():
+    from html_extract.compat import DOMParser, Parser
+
+    out = Parser.parse(b"<!DOCTYPE html><p>caf\xc3\xa9", "text/html; charset=utf-8")
+    assert out.quirks_mode == Parser.NO_QUIRKS_MODE
+    assert "café" in Parser.serialize(out.document)
+    assert Parser.serializeInner(out.document.children[1]) .startswith("<head>")
+    frag = Parser.parseFragment("td", 0, "<td>a")
+    assert Parser.serializeInner(frag) == "a"
+    from html_extract.dom import Element
+    frag2 = Parser.parseFragment(Element("title"), 0, "<b>raw")
+    assert Parser.serializeInner(frag2) == "&lt;b&gt;raw"
+    doc = DOMParser().parseFromString("<p>x", "text/html")
+    assert Parser.serialize(doc) == "<html><head></head><body><p>x</p></body></html>"
