@@ -54,3 +54,48 @@ def test_bytes_input_never_crashes(raw):
     out = parse(raw)
     assert out.encoding
     serialize(out.document)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["html", "text", "media", "weird"]),
+                markup,
+                st.sampled_from(["", "mem://x", "mem://y/z"]),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_extract_actor_arrow_roundtrip(doc_specs):
+    """ExtractActor must produce a valid Arrow batch for arbitrary doc
+    shapes (incl. empty span lists and unknown kinds)."""
+    import pyarrow as pa
+
+    from html_extract.pipeline import SPAN_IN_T, ExtractActor
+
+    rows = []
+    for spans in doc_specs:
+        rows.append(
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(spans)
+            ]
+        )
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i}" for i in range(len(rows))]),
+            "spans": pa.array(rows, pa.list_(SPAN_IN_T)),
+            "n_bytes": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+    out = ExtractActor()(batch)
+    assert out.num_rows == len(rows)
+    for row in out["spans"].to_pylist():
+        orders = [s["order"] for s in row]
+        assert orders == list(range(len(orders)))
