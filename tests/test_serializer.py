@@ -180,3 +180,22 @@ def test_svg_camelcase_tags_serialize():
     doc = parse("<svg><lineargradient/><feblend/></svg>").document
     s = serialize(doc)
     assert "<linearGradient>" in s and "<feBlend>" in s
+
+
+def test_serialize_reparse_fixed_point_on_corpus():
+    """serialize∘parse is a fixed point across the generated corpus
+    (parser and serializer agree on every construct they emit)."""
+    import pandas as pd
+
+    from html_extract.htmlgen import generate_html
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).head(150)
+    for did, text in zip(df["doc_id"], df["text"]):
+        html = generate_html(f"doc-{did:012d}", text)
+        s1 = serialize(parse(html).document)
+        s2 = serialize(parse(s1).document)
+        assert s1 == s2
