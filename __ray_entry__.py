@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text": D.normalized_text,
         "word_frequencies": D.word_frequencies,
         "lineitem_pricing_summary": D.lineitem_pricing_summary,
+        "sampled_docs": D.sampled_docs,
         "exact_dedup": D.exact_dedup,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,

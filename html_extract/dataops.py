@@ -257,6 +257,28 @@ def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
     return agg.head(k).astype({"n": "int64"})
 
 
+def sampled_docs(sf_dir, fraction=0.1, seed=7) -> pd.DataFrame:
+    """Seeded random sample of documents (corpus-curation subsampling).
+
+    `ds.random_sample` is per-row Bernoulli with a seeded generator, so
+    the row COUNT varies with block layout; for a deterministic result
+    the sample is keyed on a hash of doc_id instead — stable across any
+    partitioning (the property a resumable sampling stage needs)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    cut = int(fraction * 0xFFFFFFFF)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        keep = [
+            zlib.crc32(f"{seed}:{d}".encode()) <= cut for d in df["doc_id"]
+        ]
+        return df[pd.Series(keep, index=df.index)]
+
+    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def lineitem_pricing_summary(sf_dir) -> rd.Dataset:
     """TPC-H Q1-shaped aggregate over the largest driver table
     (integer-safe: quantities are integral; money stays out of the

@@ -125,8 +125,30 @@ def _keep(block: _Block, clean: str) -> bool:
     return score >= 2
 
 
-def extract_from_document(doc):
-    """DOM -> list of (kind, text, media_ref) in document order."""
+def _find_base_href(doc):
+    """First <base href> in the document (spec: only the first counts)."""
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, Element):
+            if node.namespace == HTML_NS and node.name == "base":
+                href = node.attrs.get("href")
+                if href:
+                    return href.strip()
+            stack.extend(reversed(node.children))
+    return None
+
+
+def extract_from_document(doc, base_url=None):
+    """DOM -> list of (kind, text, media_ref) in document order.
+
+    Relative media refs are resolved against the document's <base href>
+    (or ``base_url``) like a real extractor would; absolute refs pass
+    through untouched.
+    """
+    from urllib.parse import urljoin
+
+    base = _find_base_href(doc) or base_url
     out = []
 
     def flush(block):
@@ -175,6 +197,8 @@ def extract_from_document(doc):
         if name in MEDIA_TAGS:
             ref = _media_ref(child)
             if ref:
+                if base and "://" not in ref and not ref.startswith("data:"):
+                    ref = urljoin(base, ref)
                 flush(block)
                 out.append(("media", _media_text(child), ref))
             continue

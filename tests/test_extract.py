@@ -125,3 +125,16 @@ def test_exact_span_golden():
     ]
     assert meta["quirks_mode"] == 0
     assert meta["encoding"] == "UTF-8"
+
+
+def test_base_href_resolves_relative_media():
+    html = (
+        '<!DOCTYPE html><head><base href="https://ex.org/a/"></head>'
+        '<body><article><p>Long enough paragraph of content to be kept '
+        'by the scoring rules without question.</p>'
+        '<img src="img/x.png" alt="rel">'
+        '<img src="https://cdn.example/y.png" alt="abs"></article>'
+    )
+    spans, _ = extract_spans(html)
+    refs = [s[2] for s in spans if s[0] == "media"]
+    assert refs == ["https://ex.org/a/img/x.png", "https://cdn.example/y.png"]
