@@ -15,20 +15,21 @@ Public API:
     pipeline.*                        -> Ray Data pipelines (read -> parse -> write)
 """
 
-try:  # populated progressively during the build-out
-    from .parser import Output, parse, parse_fragment
-    from .serializer import serialize, serialize_inner
-    from .extract import extract_spans
-except ImportError:  # pragma: no cover
-    pass
+from .parser import Config, Output, parse, parse_fragment
+from .serializer import serialize, serialize_inner
+from .extract import extract_spans, process_document
+from .domparser import parse_from_string
 
 __all__ = [
+    "Config",
     "Output",
     "parse",
     "parse_fragment",
+    "parse_from_string",
     "serialize",
     "serialize_inner",
     "extract_spans",
+    "process_document",
 ]
 
 __version__ = "0.1.0"
