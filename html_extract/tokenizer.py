@@ -65,6 +65,8 @@ _LOWER = str.maketrans(
 RE_DATA = re.compile(r"[&<\x00]")
 RE_RCDATA = re.compile(r"[&<\x00]")
 RE_RAWTEXT = re.compile(r"[<\x00]")
+# escaped script data must also stop at '-' so the '-->' exit is seen
+RE_SCRIPT_ESCAPED = re.compile(r"[-<\x00]")
 RE_PLAINTEXT = re.compile(r"\x00")
 RE_TAGNAME_END = re.compile(r"[\t\n\x0c />\x00]")
 RE_ATTRNAME_END = re.compile(r"[\t\n\x0c /=>\x00\"'<]")
@@ -153,6 +155,8 @@ class Tokenizer:
                 elif c == "<":
                     for t in self._text_lt():
                         yield t
+                        if t is EOF_TOK:
+                            return
                 elif c == "\x00":
                     self._err("unexpected-null-character", p)
                     self.p = p + 1
@@ -873,9 +877,12 @@ class Tokenizer:
             if name == self.last_start_tag and (nxt in WS_SET or nxt in "/>"):
                 attrs, self_closing, endp, eof = self._scan_attrs(q)
                 if eof:
-                    # EOF mid-end-tag: spec emits the raw text
+                    # EOF in the attribute section of an appropriate end
+                    # tag: the spec's before-attribute-name state emits
+                    # eof-in-tag (done by _scan_attrs) and EOF only — the
+                    # consumed '</name ...' characters are dropped.
                     self.p = n
-                    return [_text_tok(s[p:n])]
+                    return [EOF_TOK]
                 self.p = endp
                 if attrs:
                     self._err("end-tag-with-attributes", q)
@@ -905,16 +912,20 @@ class Tokenizer:
                 dashes += 1
             self.p = i
             if dashes == 2:
-                return out + self._script_escaped(i)
+                # after '<!--' the spec is in script-data-escaped-dash-dash
+                # (escape-start -> escape-start-dash -> escaped-dash-dash),
+                # so an immediate '>' returns to plain script data.
+                return out + self._script_escaped(i, state=8)
             return out
         self.p = p + 1
         return [("Character", "<")]
 
-    def _script_escaped(self, i):
+    def _script_escaped(self, i, state=2):
         """Script-data-escaped + double-escaped states (spec 13.2.5.20-29).
 
         Runs until the construct ends (-->), an appropriate </script> end
         tag is emitted, or EOF.  Returns the list of tokens produced.
+        ``state``: 2 escaped, 7 escaped-dash, 8 escaped-dash-dash.
         """
         s, n = self.s, self.n
         out = []
@@ -924,8 +935,6 @@ class Tokenizer:
             if text:
                 out.append(_text_tok("".join(text)))
                 del text[:]
-
-        state = 2  # 2 escaped, 7 escaped-dash, 8 escaped-dash-dash
         double = False
         while True:
             if i >= n:
@@ -972,7 +981,7 @@ class Tokenizer:
                 i += 1
                 continue
             if c != "<":
-                m = RE_RAWTEXT.search(s, i + 1)
+                m = RE_SCRIPT_ESCAPED.search(s, i + 1)
                 q = m.start() if m else n
                 text.append(s[i:q])
                 i = q

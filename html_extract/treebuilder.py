@@ -751,6 +751,11 @@ class TreeBuilder:
         except StopIteration:
             return
         kind = nxt[0]
+        if kind == "EOF":
+            # Don't push EOF back: the main generator re-yields EOF (p is
+            # still at end), so a pushback would process EOF twice and
+            # duplicate expected-closing-tag-but-got-eof errors.
+            return
         if kind in ("Character", "Space") and nxt[1].startswith("\n"):
             rest = nxt[1][1:]
             if rest:

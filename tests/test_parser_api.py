@@ -136,3 +136,17 @@ def test_compat_facade_matches_reference_shapes():
     assert Parser.serializeInner(frag2) == "&lt;b&gt;raw"
     doc = DOMParser().parseFromString("<p>x", "text/html")
     assert Parser.serialize(doc) == "<html><head></head><body><p>x</p></body></html>"
+
+
+def test_pre_eof_single_error():
+    """<pre> at EOF: the 1-token lookahead must not re-process EOF
+    (would duplicate expected-closing-tag-but-got-eof)."""
+    from html_extract.parser import Config, parse
+
+    out = parse("<pre>", config=Config(error_collection=True))
+    codes = [e[0] for e in out.errors]
+    assert codes.count("expected-closing-tag-but-got-eof") == 1
+
+    out2 = parse("<textarea>", config=Config(error_collection=True))
+    codes2 = [e[0] for e in out2.errors]
+    assert codes2.count("eof-in-text-mode") == 1
