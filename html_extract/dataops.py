@@ -50,18 +50,22 @@ def _read(sf_dir, name, columns) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# keyed aggregation: combiner tree instead of ds.groupby
+# keyed aggregation: combiner tree / hash-partitioned combine
 #
 # Ray Data's sort-based groupby().aggregate() pays ~per-group Python
 # overhead in the reduce (measured: 153k groups -> 78 s for a trivial
 # count).  For associative/commutative aggregates the combiner pattern
 # is strictly better: vectorized pandas groupby per batch (massive
-# shrink), then one vectorized final combine over the partials.  The
-# final combine is a single task — correct whenever the DISTINCT-KEY
-# set fits one worker (true for every key here: sources, langs, hours,
-# nations, content hashes per shard).  At 10^12-doc scale the partials
-# would be hash-partitioned by key first and the same combine run per
-# partition.
+# shrink), then a vectorized combine over the partials.  Two shapes:
+#
+# - `_tree_agg`: single final combine task.  Correct and fastest when
+#   the DISTINCT-KEY set fits one worker (sources, langs, hours,
+#   nations — all tiny, bounded cardinality).
+# - `_keyed_agg`: hash-partition the partials on the key, then one
+#   vectorized combine per PARTITION (groupby over the partition id —
+#   P groups, so P Python calls, each a pandas groupby inside).  This
+#   is the 100 TB shape for unbounded key sets (content hashes, words,
+#   candidate pairs): no single task ever sees the whole key space.
 
 
 def _tree_agg(ds: rd.Dataset, partial_fn, combine_fn=None) -> rd.Dataset:
@@ -69,6 +73,171 @@ def _tree_agg(ds: rd.Dataset, partial_fn, combine_fn=None) -> rd.Dataset:
     return partials.repartition(1).map_batches(
         combine_fn or partial_fn, batch_format="pandas", batch_size=None
     )
+
+
+def _num_partitions(requested=None) -> int:
+    if requested:
+        return int(requested)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus)
+
+
+def _hash_mod(df: pd.DataFrame, key_cols, mod: int) -> np.ndarray:
+    """Deterministic vectorized partition id from key columns (siphash
+    via pandas with a fixed key — stable across workers and runs)."""
+    h = pd.util.hash_pandas_object(df[list(key_cols)], index=False)
+    return (h.to_numpy(dtype=np.uint64) % np.uint64(mod)).astype(np.int32)
+
+
+def _partition_apply(
+    ds: rd.Dataset, key_cols, group_fn, num_partitions=None
+) -> rd.Dataset:
+    """Hash-partition ``ds`` on ``key_cols`` and run ``group_fn`` once
+    per partition (vectorized pandas inside; rows with equal keys are
+    guaranteed co-located).  The groupby key is the PARTITION id, so
+    the per-group Python overhead is O(P), not O(distinct keys)."""
+    P = _num_partitions(num_partitions)
+    cols = list(key_cols)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = _hash_mod(df, cols, P)
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return group_fn(g.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def _keyed_agg(
+    ds: rd.Dataset, partial_fn, combine_fn, key_cols, num_partitions=None
+) -> rd.Dataset:
+    """Partial-aggregate per batch, then combine per key-hash partition
+    (never funnels the whole key set through one task)."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas")
+    return _partition_apply(partials, key_cols, combine_fn, num_partitions)
+
+
+def _rename(ds: rd.Dataset, mapping: dict) -> rd.Dataset:
+    """Column rename that also normalizes blocks to Arrow (Dataset.
+    rename_columns projects over raw blocks and breaks on pandas-backed
+    ones; join aggregators want Arrow anyway)."""
+
+    def r(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
+def _coerce(ds: rd.Dataset, schema: pa.Schema, mapping: dict | None = None) -> rd.Dataset:
+    """Rename + cast every block to a FIXED Arrow schema.
+
+    Ray's sort-based groupby can emit zero-row, zero-COLUMN blocks for
+    empty key ranges; those blocks crash Acero hash joins ("no match
+    for key field").  Joins therefore take their inputs through this
+    stage, which replaces schemaless empties with schema.empty_table()
+    and casts everything else."""
+    mapping = mapping or {}
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns:
+            t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table(
+            {fld.name: t[fld.name].cast(fld.type) for fld in schema}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type to an Arrow DataType (pandas-
+    backed blocks report numpy dtypes / Python classes instead)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (object, str):
+        return pa.string()
+    if t is bytes:
+        return pa.binary()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
+def _col_type(ds: rd.Dataset, col: str) -> pa.DataType:
+    sch = ds.schema()
+    return _pa_type(dict(zip(sch.names, sch.types))[col])
+
+
+def _hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on,
+    how: str = "inner",
+    num_partitions=None,
+) -> rd.Dataset:
+    """Partition-native hash join: both sides are tagged, hashed on the
+    key columns with the SAME partitioner, shuffled together, and
+    merged per partition with one vectorized pandas merge.
+
+    Exists because Ray's built-in Dataset.join crashes when a hash
+    partition receives rows on one side and zero BLOCKS on the other
+    (its ArrowBlockBuilder yields a zero-column table that Acero
+    rejects) — guaranteed to happen on small or skewed inputs.  This
+    join is also the shape the engine preaches: explicit key
+    co-location + vectorized per-partition work.  Key columns must
+    share names on both sides; non-key column names must not overlap.
+    ``how``: "inner" or "left"."""
+    P = _num_partitions(num_partitions)
+    on = list(on)
+    lsch, rsch = left.schema(), right.schema()
+    payload_l = [c for c in lsch.names if c not in on]
+    payload_r = [c for c in rsch.names if c not in on]
+    overlap = set(payload_l) & set(payload_r)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {overlap}")
+    all_cols = on + payload_l + payload_r
+
+    def prep(side):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    # keep the block's own Arrow type (object columns of
+                    # bytes vs str are indistinguishable in a pandas
+                    # schema; casting by guess corrupts them)
+                    cols[c] = t[c]
+                else:
+                    # untyped nulls: Arrow promotes null->anything when
+                    # blocks concatenate in the shuffle; these columns
+                    # are dropped again before the per-partition merge
+                    cols[c] = pa.nulls(n)
+            key_df = pd.DataFrame({c: t[c].to_pandas() for c in on})
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["_part"] = pa.array(_hash_mod(key_df, on, P), pa.int32())
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
+    )
+
+    def join_part(t: pa.Table) -> pd.DataFrame:
+        # split sides at the ARROW level and convert separately: each
+        # side's own columns are null-free there, so int64 stays int64
+        # (a pandas conversion of the whole group would see the other
+        # side's null-filled cells and upcast ids to float64)
+        lft = t.filter(pc.equal(t["_side"], 0)).select(on + payload_l).to_pandas()
+        rgt = t.filter(pc.equal(t["_side"], 1)).select(on + payload_r).to_pandas()
+        return lft.merge(rgt, on=on, how="inner" if how == "inner" else "left")
+
+    return tagged.groupby("_part").map_groups(join_part, batch_format="pyarrow")
 
 
 def doc_stats_by_source(sf_dir) -> rd.Dataset:
@@ -303,21 +472,29 @@ def lineitem_pricing_summary(sf_dir) -> rd.Dataset:
     return _tree_agg(ds, partial)
 
 
-def word_frequencies(sf_dir, k: int = 50) -> pd.DataFrame:
-    """Global top-k word counts (the canonical distributed wordcount:
-    vectorized count per batch -> tiny combine -> top-k; ties broken by
-    word for determinism)."""
+def word_frequencies(sf_dir, k: int = 50, num_partitions=None) -> pd.DataFrame:
+    """Global top-k word counts (the canonical distributed wordcount).
+
+    Scale shape: vectorized count per batch -> keyed combine per
+    word-hash PARTITION (a word's counts always co-locate, so no task
+    ever holds the full vocabulary) -> per-partition top-k -> driver
+    merges only P*k candidate rows.  Ties broken by word for
+    determinism."""
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if "word" in df.columns:
-            return df.groupby("word", as_index=False).agg(n=("n", "sum"))
         words = df["text"].str.split().explode()
         g = words.value_counts().reset_index()
         g.columns = ["word", "n"]
         return g
 
-    agg = _tree_agg(ds, partial).to_pandas()
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["n", "word"], ascending=[False, True])
+        return g.head(k)
+
+    cand = _keyed_agg(ds, partial, combine_topk, ["word"], num_partitions)
+    agg = cand.to_pandas()
     agg = agg.sort_values(["n", "word"], ascending=[False, True], ignore_index=True)
     return agg.head(k).astype({"n": "int64"})
 
@@ -365,27 +542,33 @@ def doc_fingerprints(sf_dir) -> rd.Dataset:
 # dedup
 
 
-def exact_dedup(sf_dir) -> rd.Dataset:
+def exact_dedup(sf_dir, num_partitions=None) -> rd.Dataset:
     """Exact dedup: hash-partition on content hash, keep min doc_id.
 
     Scale shape: the shuffle key is the 16-byte digest, never the text;
-    the groupby moves one short row per document."""
+    per-batch partial shrink first, then the combine runs once per
+    key-hash PARTITION (not one global task), so no worker ever holds
+    the full distinct-hash set."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def h_min(df: pd.DataFrame) -> pd.DataFrame:
-        if "h" not in df.columns:
-            df = pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "h": [
-                        hashlib.md5(t.encode("utf-8")).hexdigest()
-                        for t in df["text"]
-                    ],
-                }
-            )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "h": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+            }
+        )
         return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
 
-    return _tree_agg(ds, h_min).select_columns(["doc_id"])
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+
+    return _keyed_agg(ds, partial, combine, ["h"], num_partitions).select_columns(
+        ["doc_id"]
+    )
 
 
 _MINHASH_PERMS = 128
@@ -397,140 +580,198 @@ _MH_A = (
     _rng.randint(1, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64) * 2 + 1
 )
 _MH_B = _rng.randint(0, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64)
-
-
-def _shingles(text, k=3):
-    toks = text.split()
-    if len(toks) < k:
-        return {" ".join(toks)} if toks else set()
-    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-
-
-def _shingle_hashes(text, k=3):
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in _shingles(text, k)
-        ),
-        dtype=np.uint64,
-        count=-1,
+# polynomial mix constants for k-gram hashing and band folding
+_SH_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
+)
+_BAND_MIX = (
+    _rng.randint(1, 1 << 62, size=_MINHASH_PERMS // _MINHASH_BANDS).astype(
+        np.uint64
     )
+    * 2
+    + 1
+)
 
 
-def _minhash_sig(text, k=3):
-    h = _shingle_hashes(text, k)
-    if h.size == 0:
-        return np.zeros(_MINHASH_PERMS, dtype=np.uint64)
+def _batch_shingle_hashes(texts, k=3):
+    """Per text: np.uint64 array of its UNIQUE word-k-gram hashes.
+
+    Vectorized across the whole batch: one C-level siphash pass
+    (pd.util.hash_pandas_object, fixed key — machine-stable) over the
+    batch's unique tokens, then wrapping-uint64 polynomials over the
+    token-hash sequences.  No shingle strings are ever built; hashes
+    are comparable across batches/workers because they depend only on
+    token content."""
+    tok_lists = [t.split() for t in texts]
+    lens = [len(t) for t in tok_lists]
+    total = sum(lens)
+    if total == 0:
+        return [np.empty(0, np.uint64) for _ in tok_lists]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    th_u = (
+        pd.util.hash_pandas_object(pd.Series(uniq), index=False)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    th = th_u[inv]
+    out = []
+    pos = 0
     with np.errstate(over="ignore"):
-        vals = h[:, None] * _MH_A[None, :] + _MH_B[None, :]  # wraps mod 2^64
-    return np.min(vals, axis=0)
+        for m in lens:
+            h = th[pos : pos + m]
+            pos += m
+            if m == 0:
+                out.append(np.empty(0, np.uint64))
+            elif m < k:
+                acc = np.uint64(0)
+                for v in h:
+                    acc = acc * _SH_C[0] + v  # wraps mod 2^64
+                out.append(np.array([acc], dtype=np.uint64))
+            else:
+                sh = h[: m - k + 1] * _SH_C[0]
+                for j in range(1, k):
+                    sh = sh + h[j : m - k + 1 + j] * _SH_C[j]
+                out.append(np.unique(sh))
+    return out
+
+
+def _minhash_sigs(sh_list):
+    """(n_docs, 128) uint64 signature matrix from per-doc shingle-hash
+    arrays (vectorized multiply-shift per doc)."""
+    sigs = np.zeros((len(sh_list), _MINHASH_PERMS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, h in enumerate(sh_list):
+            if h.size:
+                vals = h[:, None] * _MH_A[None, :] + _MH_B[None, :]
+                sigs[i] = vals.min(axis=0)
+    return sigs
 
 
 class MinHashActor:
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band": [], "band_hash": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = _minhash_sig(text)
-            per_band = sig.reshape(_MINHASH_BANDS, -1)
-            for b in range(_MINHASH_BANDS):
-                bh = hashlib.blake2b(
-                    per_band[b].tobytes(), digest_size=8
-                ).hexdigest()
-                rows["doc_id"].append(doc_id)
-                rows["band"].append(b)
-                rows["band_hash"].append(bh)
-        return pd.DataFrame(rows)
+    """documents -> (doc_id, band, band_hash) rows, 32 per doc.
+
+    Fully vectorized (batch token hashing + matrix min + uint64 band
+    fold) and emits a FIXED Arrow schema so Ray's schema unification
+    never falls back to slow paths."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sigs = _minhash_sigs(_batch_shingle_hashes(texts))
+        with np.errstate(over="ignore"):
+            bh = (
+                sigs.reshape(n, _MINHASH_BANDS, -1) * _BAND_MIX[None, None, :]
+            ).sum(axis=2, dtype=np.uint64)
+        idx = np.repeat(np.arange(n), _MINHASH_BANDS)
+        bands = np.tile(np.arange(_MINHASH_BANDS, dtype=np.int32), n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            }
+        )
 
 
-def minhash_candidates(sf_dir) -> pd.DataFrame:
+def minhash_candidates(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
     """MinHash-LSH candidate pairs: shingle -> 128-perm signature ->
     32 bands -> bucket by (band, band_hash) -> pairs within a bucket.
 
-    Pair generation avoids per-group Python calls (a map_groups over
-    ~n_docs*32 one-row buckets costs more than the hashing itself):
-    (1) vectorized count per bucket, (2) keep only buckets with >= 2
-    docs — by LSH construction a tiny, similarity-bearing subset —
-    (3) self-merge those rows.  At 100 TB step 3 becomes a hash join
-    on band_hash with hot buckets salted; steps 1-2 are unchanged."""
+    Partition-native: band rows are hash-partitioned on the bucket key,
+    each partition self-joins its own duplicated buckets (vectorized
+    pandas merge), and per-pair band counts are summed by a second
+    keyed combine on (a, b).  Nothing doc-count-sized ever lands on
+    the driver or in a single task.  Hot buckets (> ``cap`` members —
+    typically exact-dup clusters) emit a star to the bucket-min doc
+    instead of all O(m^2) pairs, preserving cluster connectivity while
+    bounding output to O(m)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(
-        MinHashActor, batch_format="pandas", batch_size=512, concurrency=(1, 8)
+        MinHashActor, batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
     )
-    # two consumers below (counts + bucket filter): pin the band table —
-    # it is ~32 short rows/doc, far smaller than the corpus.  At real
-    # scale this is a persisted intermediate (write_parquet), same idea.
-    bands = bands.materialize()
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        if "n" in df.columns:
-            return (
-                df.groupby(["band", "band_hash"], as_index=False)
-                .agg(n=("n", "sum"))
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band", "band_hash"], keep=False)]
+        empty = pd.DataFrame(
+            {
+                "a": dup["doc_id"][:0],
+                "b": dup["doc_id"][:0],
+                "n_bands": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(dup) == 0:
+            return empty
+        sizes = dup.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        parts = []
+        small = dup[sizes <= cap]
+        if len(small):
+            m = small.merge(small, on=["band", "band_hash"])
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            parts.append(m[["doc_id_x", "doc_id_y"]])
+        big = dup[sizes > cap]
+        if len(big):
+            rep = big.groupby(["band", "band_hash"])["doc_id"].transform("min")
+            star = pd.DataFrame(
+                {"doc_id_x": rep, "doc_id_y": big["doc_id"]}
             )
-        return (
-            df.groupby(["band", "band_hash"], sort=False)
+            parts.append(star[star["doc_id_x"] < star["doc_id_y"]])
+        allp = pd.concat(parts, ignore_index=True) if parts else None
+        if allp is None or len(allp) == 0:
+            return empty
+        out = (
+            allp.groupby(["doc_id_x", "doc_id_y"], sort=False)
             .size()
-            .reset_index(name="n")
+            .reset_index(name="n_bands")
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
+        return out
+
+    pair_partials = _partition_apply(
+        bands, ["band", "band_hash"], bucket_pairs, num_partitions
+    )
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False).agg(
+            n_bands=("n_bands", "sum")
         )
 
-    counts = _tree_agg(bands, partial_counts).to_pandas()
-    dup_keys = counts[counts["n"] >= 2]
-    if len(dup_keys) == 0:
+    pairs = _partition_apply(pair_partials, ["a", "b"], comb, num_partitions)
+    out = pairs.to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"a": [], "b": [], "n_bands": []})
-    keyset = set(zip(dup_keys["band"], dup_keys["band_hash"]))
-    key_ref = ray.put(keyset)
-
-    def in_dup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(key_ref)
-        mask = [
-            (b, h) in ks for b, h in zip(df["band"], df["band_hash"])
-        ]
-        return df[pd.Series(mask, index=df.index)]
-
-    hits = bands.map_batches(in_dup_bucket, batch_format="pandas").to_pandas()
-    merged = hits.merge(hits, on=["band", "band_hash"])
-    merged = merged[merged["doc_id_x"] < merged["doc_id_y"]]
-    pairs = (
-        merged.groupby(["doc_id_x", "doc_id_y"])
-        .size()
-        .reset_index(name="n_bands")
-        .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
-    )
-    return pairs
+    return out.sort_values(["a", "b"], ignore_index=True)
 
 
-def minhash_dedup(sf_dir, jaccard_threshold_pct=80) -> pd.DataFrame:
-    """Near-dup clusters: LSH candidates -> exact n-gram Jaccard verify
-    -> connected components -> (doc_id, cluster_id).
+def _shingle_table(sf_dir) -> rd.Dataset:
+    """documents -> (doc_id, sh: list<uint64>) — the join-back side for
+    distributed Jaccard verification."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    The verify step broadcasts the shingle sets once (ray.put) because
-    the candidate set at test scale is tiny; at 100 TB the pairs would
-    instead be joined back to the text by doc_id (two hash joins) and
-    components run via iterative min-label propagation."""
-    docs = pd.read_parquet(
-        _path(sf_dir, "documents"), columns=["doc_id", "text"]
-    )
-    cand = minhash_candidates(sf_dir)
-    shingle_ref = ray.put(
-        {d: _shingles(t) for d, t in zip(docs["doc_id"], docs["text"])}
-    )
+    def f(t: pa.Table) -> pa.Table:
+        sh = _batch_shingle_hashes(t["text"].to_pylist())
+        # packed little-endian uint64 bytes: Ray's hash join supports
+        # binary payload columns but not list<uint64>
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sh": pa.array(
+                    [np.ascontiguousarray(a, dtype="<u8").tobytes() for a in sh],
+                    pa.binary(),
+                ),
+            }
+        )
 
-    @ray.remote
-    def verify(pairs_chunk):
-        sh = ray.get(shingle_ref)
-        keep = []
-        for a, b in pairs_chunk:
-            sa, sb = sh[a], sh[b]
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            if 100 * inter >= jaccard_threshold_pct * union:
-                keep.append((a, b))
-        return keep
+    return ds.map_batches(f, batch_format="pyarrow")
 
-    pair_list = list(zip(cand["a"], cand["b"])) if len(cand) else []
-    chunks = [pair_list[i : i + 2048] for i in range(0, len(pair_list), 2048)]
-    verified = [p for c in ray.get([verify.remote(c) for c in chunks]) for p in c]
-    # union-find on the driver (pair count << doc count)
+
+def _cc_driver(pairs) -> dict:
+    """Union-find over an edge list (driver-side; used when the
+    verified-pair count is small)."""
     parent = {}
 
     def find(x):
@@ -540,112 +781,460 @@ def minhash_dedup(sf_dir, jaccard_threshold_pct=80) -> pd.DataFrame:
             x = parent[x]
         return x
 
-    for a, b in verified:
+    for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    cluster = [find(d) if d in parent else d for d in docs["doc_id"]]
-    return pd.DataFrame({"doc_id": docs["doc_id"], "cluster_id": cluster})
+    return {x: find(x) for x in parent}
+
+
+def _cc_distributed(
+    edges: rd.Dataset, num_partitions=None, max_iter=25
+) -> rd.Dataset:
+    """Connected components by iterative min-label propagation, fully
+    in Ray (the 100 TB path — no driver-side edge list).
+
+    edges: Dataset[(a, b)].  Returns Dataset[(node, label)] where label
+    is the component minimum.  Each round: hash-join labels to edge
+    endpoints, take the min incoming label per node (keyed combine),
+    merge with current labels, stop when no label changed.  Rounds ~
+    O(component diameter); near-dup clusters are shallow."""
+    P = _num_partitions(num_partitions)
+    aty = _col_type(edges, "a")
+    node_schema = pa.schema([("node", aty), ("label", aty)])
+    src_schema = pa.schema([("src", aty), ("label", aty)])
+    cand_schema = pa.schema([("node", aty), ("cand", aty)])
+    edge_schema = pa.schema([("src", aty), ("dst", aty)])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "dst": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+
+    dedges = _coerce(
+        edges.map_batches(both_dirs, batch_format="pandas"), edge_schema
+    ).materialize()
+
+    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["src"]].drop_duplicates()
+        out = out.rename(columns={"src": "node"})
+        out["label"] = out["node"]
+        return out
+
+    labels = _coerce(
+        _partition_apply(dedges, ["src"], distinct_nodes, P), node_schema
+    ).materialize()
+
+    for _ in range(max_iter):
+        j = _hash_join(
+            dedges,
+            _coerce(labels, src_schema, {"node": "src"}),
+            ("src",),
+            "inner",
+            P,
+        )
+
+        def min_in_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("dst", as_index=False).agg(cand=("label", "min"))
+
+        def min_in_combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("dst", as_index=False).agg(cand=("cand", "min"))
+
+        cand = _keyed_agg(
+            j.select_columns(["dst", "label"]),
+            min_in_partial,
+            min_in_combine,
+            ["dst"],
+            P,
+        )
+        merged = _hash_join(
+            _coerce(labels, node_schema),
+            _coerce(cand, cand_schema, {"dst": "node"}),
+            ("node",),
+            "left",
+            P,
+        )
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            new = df["label"].where(
+                df["cand"].isna() | (df["label"] <= df["cand"]), df["cand"]
+            ).astype(df["node"].dtype)
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "label": new,
+                    "changed": (new != df["label"]).astype("int64"),
+                }
+            )
+
+        upd = merged.map_batches(update, batch_format="pandas").materialize()
+        changed = upd.sum("changed")
+        labels = upd.select_columns(["node", "label"]).materialize()
+        if not changed:
+            break
+    return labels
+
+
+def minhash_dedup(
+    sf_dir,
+    jaccard_threshold_pct=80,
+    num_partitions=None,
+    cc_driver_max_pairs=100_000,
+) -> pd.DataFrame:
+    """Near-dup clusters: LSH candidates -> exact shingle-Jaccard verify
+    -> connected components -> (doc_id, cluster_id).
+
+    Scale shape: candidate pairs are joined BACK to per-doc shingle-hash
+    sets by doc_id (two hash joins) and verified in distributed tasks —
+    no whole-corpus structure is ever built on the driver.  Components
+    run driver-side union-find only while the verified-pair count is
+    small (<= cc_driver_max_pairs); above that they switch to
+    distributed min-label propagation (`_cc_distributed`).  Final
+    cluster assignment is a left join of doc ids against the labels."""
+    P = _num_partitions(num_partitions)
+    cand = minhash_candidates(sf_dir, num_partitions=num_partitions)
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "cluster_id": df["doc_id"]}
+        )
+
+    if len(cand) == 0:
+        out = ids.map_batches(own_cluster, batch_format="pandas").to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    sh = _shingle_table(sf_dir)
+    pairs_ds = rd.from_pandas(cand[["a", "b"]])
+    j1 = _hash_join(
+        pairs_ds, _rename(sh, {"doc_id": "a", "sh": "sh_a"}), ("a",), "inner", P
+    )
+    j2 = _hash_join(
+        j1, _rename(sh, {"doc_id": "b", "sh": "sh_b"}), ("b",), "inner", P
+    )
+
+    thr = jaccard_threshold_pct
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_keep, b_keep = [], []
+        for a, b, sa_buf, sb_buf in zip(
+            t["a"].to_pylist(),
+            t["b"].to_pylist(),
+            t["sh_a"].to_pylist(),
+            t["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sa_buf, dtype="<u8")
+            sb = np.frombuffer(sb_buf, dtype="<u8")
+            na, nb = len(sa), len(sb)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = (na + nb - inter) or 1
+            if 100 * inter >= thr * union:
+                a_keep.append(a)
+                b_keep.append(b)
+        aty = t.schema.field("a").type
+        return pa.table(
+            {"a": pa.array(a_keep, aty), "b": pa.array(b_keep, aty)}
+        )
+
+    verified = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        out = ids.map_batches(own_cluster, batch_format="pandas").to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    if n_pairs <= cc_driver_max_pairs:
+        vp = verified.to_pandas()
+        roots = _cc_driver(zip(vp["a"], vp["b"]))
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": list(roots.keys()),
+                    "label": list(roots.values()),
+                }
+            )
+        )
+    else:
+        labels = _cc_distributed(verified, P)
+
+    id_ty = _col_type(ids, "doc_id")
+    joined = _hash_join(
+        ids,
+        _coerce(
+            labels,
+            pa.schema([("doc_id", id_ty), ("label", id_ty)]),
+            {"node": "doc_id"},
+        ),
+        ("doc_id",),
+        "left",
+        P,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].where(df["label"].notna(), df["doc_id"])
+        lab = lab.astype(df["doc_id"].dtype)
+        return pd.DataFrame({"doc_id": df["doc_id"], "cluster_id": lab})
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def simhash_fingerprints(sf_dir) -> rd.Dataset:
-    """64-bit SimHash per document (deterministic blake2 token hashes)."""
+    """64-bit SimHash per document (deterministic blake2 token hashes).
+
+    Vectorized: each batch hashes its UNIQUE tokens once (blake2b),
+    expands digests to a (n_unique, 64) bit matrix with np.unpackbits,
+    and accumulates per-document bit votes with np.add.at — no
+    per-token-per-bit Python loop.  Bit-identical to the naive
+    per-token kernel (bit i of the big-endian digest)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in df["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(text.split()):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-                bits = np.fromiter(
-                    ((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64
-                )
-                acc += 2 * bits - 1
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            out.append(f"{val:016x}")
+        n_docs = len(df)
+        # (doc_row, token) pairs, unique token per doc (set semantics)
+        tok_sets = [set(t.split()) for t in df["text"]]
+        counts = np.fromiter(
+            (len(s) for s in tok_sets), dtype=np.int64, count=n_docs
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"], "simhash": ["0" * 16] * n_docs}
+            )
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for s in tok_sets:
+            for tok in s:
+                flat[pos] = tok
+                pos += 1
+        row_ids = np.repeat(np.arange(n_docs), counts)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        digests = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(u.encode(), digest_size=8).digest()
+                for u in uniq
+            ),
+            dtype=np.uint8,
+        ).reshape(-1, 8)
+        # column i = bit i of the big-endian 64-bit digest value
+        bits = np.unpackbits(digests, axis=1, bitorder="big")[:, ::-1]
+        ones = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(ones, row_ids, bits[inv].astype(np.int64))
+        # vote: bit set iff ones > zeros  (acc = 2*ones - n_toks > 0)
+        pos_bits = (2 * ones) > counts[:, None]
+        vals = (
+            pos_bits.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        ).sum(axis=1, dtype=np.uint64)
+        out = [f"{int(v):016x}" for v in vals]
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
 
     return ds.map_batches(f, batch_format="pandas", batch_size=1024)
 
 
-def _load_normalized_embeddings(sf_dir):
-    emb = pd.read_parquet(_path(sf_dir, "embeddings")).sort_values(
-        "vec_id", ignore_index=True
-    )
-    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return emb["vec_id"].to_numpy(), M / norms
+    return M / norms
 
 
-def embedding_near_dups(sf_dir, threshold_pct=95) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs: the full normalized matrix is
-    broadcast once (ray.put) and each batch computes its block of the
-    similarity matrix — a row-blocked matmul, not a shuffle.  At 10^12
-    scale the matrix side is replaced by an LSH/IVF bucket index
-    (``ann_topk_lsh`` shows the bucketing); the batch kernel is the same.
-    """
-    ids_all, Mn = _load_normalized_embeddings(sf_dir)
-    ref = ray.put((ids_all, Mn))
+def _stack_embeddings(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
-    class BlockSim:
+
+def embedding_near_dups(
+    sf_dir, threshold_pct=95, n_planes=6, n_tables=8, num_partitions=None
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH —
+    the 100 TB shape: NO full-matrix broadcast, NO O(N^2) similarity.
+
+    Each vector is coded into ``n_tables`` independent hyperplane
+    buckets (deterministic seeded planes); rows shuffle by bucket; the
+    exact cosine check runs only WITHIN buckets (vectorized matmul per
+    bucket); pairs are deduped across tables by a keyed combine.
+    Recall for pairs at cos >= 0.95 with 8 tables x 6 planes is
+    ~1-(1-0.53)^8 > 0.99 (hyperplane collision (1-theta/pi)^planes).
+    Embeddings are shipped n_tables times through the shuffle — the
+    standard multi-table LSH cost, still O(N), vs O(N^2) compute."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pow2 = 1 << np.arange(n_planes)
+    n_buckets = 1 << n_planes
+
+    class MultiCoder:
         def __init__(self):
-            self.ids_all, self.Mn = ray.get(ref)
+            self.planes = None
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            rows = np.searchsorted(self.ids_all, np.sort(vec_ids))
-            block = self.Mn[rows]
-            sims = block @ self.Mn.T
-            a_out, b_out = [], []
-            srt = np.sort(vec_ids)
-            for i, vid in enumerate(srt):
-                hits = np.where(sims[i] * 100 >= threshold_pct)[0]
-                for j in hits:
-                    other = int(self.ids_all[j])
-                    if other > int(vid):  # upper triangle only
-                        a_out.append(int(vid))
-                        b_out.append(other)
-            return pa.table(
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _stack_embeddings(df["embedding"])
+            if self.planes is None:
+                self.planes = [
+                    np.random.RandomState(0xBEEF00 + t).normal(
+                        size=(M.shape[1], n_planes)
+                    )
+                    for t in range(n_tables)
+                ]
+            Mn = _normalize_rows(M)
+            frames = []
+            for t, pl in enumerate(self.planes):
+                code = ((Mn @ pl) > 0) @ pow2
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": df["vec_id"].to_numpy(),
+                            "bucket": t * n_buckets + code,
+                            "embedding": list(df["embedding"]),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    coded = ds.map_batches(
+        MultiCoder, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, sub in g.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            Mn = _normalize_rows(_stack_embeddings(sub["embedding"]))[order]
+            sims = Mn @ Mn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] * 100 >= threshold_pct
+            a_out.append(ids[iu[hit]])
+            b_out.append(ids[ju[hit]])
+        if not a_out:
+            return pd.DataFrame(
                 {
-                    "a": pa.array(a_out, pa.int64()),
-                    "b": pa.array(b_out, pa.int64()),
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
                 }
             )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(a_out).astype("int64"),
+                "b": np.concatenate(b_out).astype("int64"),
+            }
+        )
 
-    ds = _read(sf_dir, "embeddings", ["vec_id"])
-    out = ds.map_batches(
-        BlockSim, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
-    ).to_pandas()
-    if "a" not in out.columns:  # no pairs anywhere -> schema-less empty df
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    return out.sort_values(["a", "b"], ignore_index=True)
+    partials = _partition_apply(coded, ["bucket"], bucket_pairs, num_partitions)
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    pairs = _partition_apply(partials, ["a", "b"], distinct, num_partitions)
+    out = pairs.to_pandas()
+    if "a" not in out.columns or len(out) == 0:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    return out.sort_values(["a", "b"], ignore_index=True).astype("int64")
 
 
-def ann_topk_lsh(sf_dir, n_queries=5, k=10, n_planes=6) -> pd.DataFrame:
-    """LSH-bucketed ANN (the 100 TB scale path for ``ann_topk``):
-    random-hyperplane signs bucket the corpus; each query searches only
-    its own bucket.  Deterministic planes (fixed seed).  Approximate by
-    construction — quality is judged by recall vs the brute-force
-    baseline (see tests), cost by candidate count."""
-    ids_all, Mn = _load_normalized_embeddings(sf_dir)
-    dim = Mn.shape[1]
-    planes = np.random.RandomState(0xA11CE).normal(size=(dim, n_planes))
-    codes = (Mn @ planes > 0) @ (1 << np.arange(n_planes))
-    rows = []
-    for qi in range(min(n_queries, len(ids_all))):
-        bucket = np.where(codes == codes[qi])[0]
-        sims = Mn[bucket] @ Mn[qi]
-        order = np.lexsort((ids_all[bucket], -sims))[:k]
-        for rank, j in enumerate(order, 1):
-            rows.append((int(ids_all[qi]), int(ids_all[bucket[j]]), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+def ann_topk_lsh(
+    sf_dir, n_queries=5, k=10, n_planes=6, n_tables=4, num_partitions=None
+) -> pd.DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path for ``ann_topk``), fully
+    on Ray: a map stage codes every vector with ``n_tables`` sets of
+    deterministic seeded hyperplanes, rows shuffle by (table, bucket)
+    code, each bucket computes partial top-k for the queries it holds
+    (one vectorized matmul), and a final keyed combine per query merges
+    the per-table candidates (dedupe + global top-k).  The corpus never
+    lands on the driver; multiple tables recover the recall a single
+    hyperplane code loses.  Approximate by construction — quality is
+    judged by recall vs the brute-force baseline (see tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pow2 = 1 << np.arange(n_planes)
+    n_buckets = 1 << n_planes
+
+    class Coder:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            M = _stack_embeddings(df["embedding"])
+            if self.planes is None:
+                self.planes = [
+                    np.random.RandomState(0xA11CE0 + t).normal(
+                        size=(M.shape[1], n_planes)
+                    )
+                    for t in range(n_tables)
+                ]
+            Mn = _normalize_rows(M)
+            frames = []
+            for t, pl in enumerate(self.planes):
+                code = ((Mn @ pl) > 0) @ pow2
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": df["vec_id"].to_numpy(),
+                            "bucket": t * n_buckets + code,
+                            "embedding": list(df["embedding"]),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    coded = ds.map_batches(
+        Coder, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    _empty = {
+        "query_id": pd.Series(dtype="int64"),
+        "neighbor_id": pd.Series(dtype="int64"),
+        "sim": pd.Series(dtype="float64"),
+    }
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby("bucket", sort=False):
+            ids = sub["vec_id"].to_numpy()
+            qmask = ids < n_queries
+            if not qmask.any():
+                continue
+            Mn = _normalize_rows(_stack_embeddings(sub["embedding"]))
+            for qpos in np.flatnonzero(qmask):
+                sims = Mn @ Mn[qpos]
+                order = np.lexsort((ids, -sims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), ids[qpos]),
+                            "neighbor_id": ids[order],
+                            "sim": sims[order],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(_empty)
+        return pd.concat(frames, ignore_index=True)
+
+    partial = _partition_apply(coded, ["bucket"], bucket_topk, num_partitions)
+
+    def merge_query(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "neighbor_id"])
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("query_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        return top[["query_id", "neighbor_id", "rank"]]
+
+    out = _partition_apply(partial, ["query_id"], merge_query, num_partitions)
+    res = out.to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("query_id", "neighbor_id", "rank")}
+        )
+    return res.sort_values(
+        ["query_id", "rank"], ignore_index=True
+    ).astype("int64")
 
 
 # ---------------------------------------------------------------------------
@@ -656,8 +1245,19 @@ def ann_topk(sf_dir, n_queries=5, k=10) -> pd.DataFrame:
     """Brute-force cosine top-k: broadcast the query matrix once, partial
     top-k per batch, tiny driver-side merge.  IVF/LSH is the 100 TB
     path; the batch kernel is the same."""
-    qdf = pd.read_parquet(_path(sf_dir, "embeddings")).sort_values("vec_id")
-    qdf = qdf[qdf["vec_id"] < n_queries]
+    import pyarrow.parquet as pq
+
+    # predicate-pushdown read of JUST the query vectors (row-group
+    # pruning) — never the whole embedding table on the driver
+    qdf = (
+        pq.read_table(
+            _path(sf_dir, "embeddings"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_queries)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ids = qdf["vec_id"].to_numpy()
@@ -720,15 +1320,20 @@ def events_hourly(sf_dir) -> rd.Dataset:
     return _tree_agg(ds, partial)
 
 
-def user_sessions(sf_dir, gap_minutes=30) -> rd.Dataset:
-    """Session windows per user: sort within user groups (the ordering
-    assumption: one group = one user's full history)."""
+def user_sessions(sf_dir, gap_minutes=30, num_partitions=None) -> rd.Dataset:
+    """Session windows per user: hash-partition on user_id, then ONE
+    vectorized sessionization pass per partition (sort by user+ts,
+    session breaks where the user changes or the gap exceeds the
+    threshold).  Replaces per-user map_groups — a Python call per user
+    is the measured 0.5 ms/group trap at web-scale user counts; this
+    shape pays O(P) calls regardless of user count."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum()
+        sid = (new_user | gap).cumsum()
         agg = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             start_ts=("ts", "min"),
@@ -737,7 +1342,7 @@ def user_sessions(sf_dir, gap_minutes=30) -> rd.Dataset:
         )
         return agg.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _partition_apply(ds, ["user_id"], sessions, num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -511,15 +511,18 @@ def reserialized(sf_dir) -> rd.Dataset:
     )
 
 
-def dedup_output(ds: rd.Dataset) -> rd.Dataset:
+def dedup_output(ds: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Duplicate-doc_id guard for resumed/unioned outputs (SURVEY.md
-    §2.3): hash-partition on doc_id, keep one row per id.  Uses the
-    keyed groupby (the shuffle is the point — co-locate same ids)."""
+    §2.3): hash-partition on doc_id so equal ids co-locate, then one
+    vectorized drop_duplicates per PARTITION.  Same semantics as a
+    per-id groupby-first, but the Python overhead is O(partitions),
+    not O(documents) — the measured 0.5 ms/group map_groups trap."""
+    from .dataops import _partition_apply
 
-    def first(g):
-        return g.head(1)
+    def first_per_id(g):
+        return g.drop_duplicates("doc_id")
 
-    return ds.groupby("doc_id").map_groups(first, batch_format="pandas")
+    return _partition_apply(ds, ["doc_id"], first_per_id, num_partitions)
 
 
 def spans_flat(ds: rd.Dataset) -> rd.Dataset:

@@ -164,3 +164,236 @@ def test_ann_lsh_structure_and_self_hit():
     assert (firsts["query_id"] == firsts["neighbor_id"]).all()
     # and the result is deterministic
     assert out.equals(D.ann_topk_lsh(SF))
+
+
+def _write_docs(tmp_path, ids, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_minhash_dedup_matches_bruteforce_reference(tmp_path):
+    """~25% planted near-dups: clusters must equal a brute-force
+    pairwise-Jaccard union-find reference."""
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i}" for i in range(400)]
+    ids, texts = [], []
+    base_texts = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, 400, size=120)]
+        base_texts.append(" ".join(words))
+        ids.append(i)
+        texts.append(base_texts[-1])
+    # 20 near-dups: copy of a base doc with 2 words changed
+    for i in range(20):
+        src = base_texts[i % 60].split()
+        src[5] = "CHANGED" + str(i)
+        src[50] = "ALTERED" + str(i)
+        ids.append(100 + i)
+        texts.append(" ".join(src))
+    _write_docs(tmp_path, ids, texts)
+
+    got = D.minhash_dedup(str(tmp_path), jaccard_threshold_pct=80)
+    cmap = dict(zip(got["doc_id"], got["cluster_id"]))
+
+    # brute-force reference over the same shingle definition
+    sh = {
+        i: set(D._batch_shingle_hashes([t])[0].tolist())
+        for i, t in zip(ids, texts)
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    all_ids = sorted(ids)
+    for ai in range(len(all_ids)):
+        for bi in range(ai + 1, len(all_ids)):
+            a, b = all_ids[ai], all_ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b]) or 1
+            if 100 * inter >= 80 * union:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) if i in parent else i for i in all_ids}
+    # compare cluster PARTITIONS (labels are min-id in both)
+    assert cmap == want
+
+
+def test_minhash_dedup_distributed_cc_path(tmp_path):
+    """Force the distributed min-label-propagation path (driver
+    union-find disabled) and check it produces the same clusters."""
+    from html_extract import dataops as D
+
+    base = " ".join(f"tok{i}" for i in range(150))
+    ids, texts = [], []
+    # a chain of near-dups: 0~1, 1~2, 2~3 (transitive cluster of 4)
+    cur = base.split()
+    for i in range(4):
+        ids.append(i)
+        texts.append(" ".join(cur))
+        cur = list(cur)
+        cur[10 + i] = f"edit{i}"
+    ids.append(9)
+    texts.append(" ".join(f"zz{i}" for i in range(150)))
+    _write_docs(tmp_path, ids, texts)
+
+    got_driver = D.minhash_dedup(str(tmp_path))
+    got_dist = D.minhash_dedup(str(tmp_path), cc_driver_max_pairs=0)
+    d1 = dict(zip(got_driver["doc_id"], got_driver["cluster_id"]))
+    d2 = dict(zip(got_dist["doc_id"], got_dist["cluster_id"]))
+    assert d1 == d2
+    assert d1[0] == d1[1] == d1[2] == d1[3]
+    assert d1[9] == 9
+
+
+def test_minhash_hot_bucket_star_keeps_connectivity(tmp_path):
+    """> cap identical docs: star-capped pair generation must still
+    produce ONE cluster (connectivity preserved, O(m) pairs)."""
+    from html_extract import dataops as D
+
+    text = " ".join(f"same{i}" for i in range(100))
+    n = 40
+    ids = list(range(n))
+    texts = [text] * n
+    _write_docs(tmp_path, ids, texts)
+    pairs = D.minhash_candidates(str(tmp_path), cap=8)
+    # star pattern: O(n) pairs, not O(n^2)
+    assert len(pairs) <= 2 * n
+    got = D.minhash_dedup(str(tmp_path))
+    assert set(got["cluster_id"]) == {0}
+
+
+def test_simhash_vectorized_matches_naive_kernel():
+    """The vectorized SimHash must be bit-identical to the spec'd
+    per-token kernel (bit i of the big-endian blake2b-64 digest)."""
+    import hashlib
+
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    texts = [
+        "alpha beta gamma delta",
+        "",
+        "x",
+        "repeat repeat repeat distinct",
+        "the quick brown fox jumps over the lazy dog " * 3,
+    ]
+
+    def naive(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.split()):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bits = np.fromiter(
+                ((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64
+            )
+            acc += 2 * bits - 1
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        return f"{val:016x}"
+
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    # call the batch kernel directly through a tiny table on disk
+    got = None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"))
+        got = D.simhash_fingerprints(td).to_pandas().sort_values("doc_id")
+    assert got["simhash"].tolist() == [naive(t) for t in texts]
+
+
+def test_ann_lsh_recall_vs_bruteforce_planted(tmp_path):
+    """Queries with planted near-neighbor clusters: multi-table LSH
+    recall vs the brute-force oracle must be >= 0.8."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(11)
+    dim, nq, per = 24, 5, 9
+    vecs = [rng.normal(size=dim) for _ in range(nq)]  # query anchors 0..4
+    M = []
+    for q in range(nq):
+        M.append(vecs[q])
+    # planted neighbors: ids 100.. — small perturbations of each anchor
+    for q in range(nq):
+        for j in range(per):
+            M.append(vecs[q] + rng.normal(scale=0.05, size=dim))
+    # background noise
+    for _ in range(150):
+        M.append(rng.normal(size=dim))
+    M = np.asarray(M, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(M)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in M], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    brute = D.ann_topk(str(tmp_path), n_queries=nq, k=10)
+    lsh = D.ann_topk_lsh(str(tmp_path), n_queries=nq, k=10)
+    recalls = []
+    for q in range(nq):
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        got = set(lsh[lsh["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_embedding_near_dups_recall_planted_batch(tmp_path):
+    """20 planted near-dup pairs in 120 vectors: multi-table LSH must
+    find them all (collision prob ~0.998 per pair at cos~1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(3)
+    M = rng.normal(size=(120, 24)).astype(np.float32)
+    planted = []
+    for i in range(20):
+        a, b = 2 * i, 100 + i
+        M[b] = M[a] + rng.normal(scale=1e-3, size=24).astype(np.float32)
+        planted.append((a, b))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in M], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    pairs = D.embedding_near_dups(str(tmp_path), threshold_pct=95)
+    got = set(zip(pairs["a"], pairs["b"]))
+    found = sum(1 for p in planted if p in got)
+    assert found >= 19  # >= 95% recall on planted pairs
