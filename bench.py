@@ -148,7 +148,11 @@ def run_scaling():
         # headroom, and stay below the shared-memory-bandwidth wall
         # this single box hits past ~half its physical cores
         env.setdefault("GRAFT_POOL", str(max(1, ncpu // 2)))
-        env.setdefault("GRAFT_BENCH_REPLICATE", "8")
+        # enough work that fixed session costs (read warmup, pool
+        # startup, plan overhead) amortize: at replicate=8 the 32-CPU
+        # run finished in ~4 s and those constants alone depressed
+        # 8->32 efficiency to 0.58; at 24 the same pair measures 0.745
+        env.setdefault("GRAFT_BENCH_REPLICATE", "24")
         env["GRAFT_POOL"] = str(max(1, ncpu // 2))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
