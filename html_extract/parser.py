@@ -28,6 +28,9 @@ class Config:
     # pipeline only needs error COUNTS, so it turns positions off
     error_positions: bool = True
     processing_instructions: bool = False
+    # HTML scripting flag (spec 13.2.6.4.4): changes <noscript> handling
+    # only; this engine never executes scripts either way
+    scripting: bool = False
 
 
 @dataclass
@@ -106,6 +109,7 @@ def _parse_once(text, config, encoding_name, certain, raw_had_meta_hook):
         tok,
         processing_instructions=config.processing_instructions,
         collect_errors=config.error_collection,
+        scripting=config.scripting,
     )
     if raw_had_meta_hook and not certain:
 
@@ -213,6 +217,7 @@ def parse_fragment(context, data, config=None) -> DocumentFragment:
         fragment_context=(ns, name),
         processing_instructions=config.processing_instructions,
         collect_errors=config.error_collection,
+        scripting=config.scripting,
     )
     tb.run()
     frag = DocumentFragment()

@@ -74,15 +74,17 @@ _XML_TARGET = _re.compile(r"[A-Za-z_:][\w.:-]*")
     IN_TABLE_BODY,
     IN_ROW,
     IN_CELL,
-    IN_SELECT,
-    IN_SELECT_IN_TABLE,
     IN_TEMPLATE,
     AFTER_BODY,
     IN_FRAMESET,
     AFTER_FRAMESET,
     AFTER_AFTER_BODY,
     AFTER_AFTER_FRAMESET,
-) = range(23)
+) = range(21)
+# NOTE: no "in select" / "in select in table" modes — the reference
+# implements the reworked select parsing (TreeConstructor.php:61-81 has
+# 19 modes; select/option/optgroup are in-body rules with select-in-
+# scope checks, TreeConstructor.php:890-962).
 
 MARKER = None  # active-formatting-elements marker sentinel
 
@@ -120,6 +122,7 @@ class TreeBuilder:
         fragment_context=None,
         processing_instructions=False,
         collect_errors=True,
+        scripting=False,
     ):
         self.tokenizer = tokenizer
         self.doc = document if document is not None else Document()
@@ -136,6 +139,7 @@ class TreeBuilder:
         self.errors = []
         self.processing_instructions = processing_instructions
         self.collect_errors = collect_errors
+        self.scripting = scripting
         self.fragment_context = fragment_context  # (ns, name) or None
         self.context_element = None
         self.on_meta = None  # callback(attrs) for <meta>, set by Parser
@@ -211,17 +215,6 @@ class TreeBuilder:
             if el is element:
                 return True
             if el.skey in scope:
-                return False
-        return False
-
-    def _select_in_scope(self):
-        # "select scope": all element types NOT optgroup/option terminate
-        for el in reversed(self.stack):
-            if el.namespace == HTML_NS and el.name == "select":
-                return True
-            if not (
-                el.namespace == HTML_NS and el.name in ("optgroup", "option")
-            ):
                 return False
         return False
 
@@ -415,19 +408,6 @@ class TreeBuilder:
                     return
                 continue
             name = node.name
-            if name == "select":
-                mode = IN_SELECT
-                if not last:
-                    for j in range(i - 1, 0, -1):
-                        anc = self.stack[j]
-                        if anc.namespace == HTML_NS:
-                            if anc.name == "template":
-                                break
-                            if anc.name == "table":
-                                mode = IN_SELECT_IN_TABLE
-                                break
-                self.mode = mode
-                return
             if name in ("td", "th") and not last:
                 self.mode = IN_CELL
                 return
@@ -918,7 +898,11 @@ class TreeBuilder:
             if name in ("noframes", "style"):
                 self._generic_text(tok, rawtext=True)
                 return None
-            if name == "noscript":  # scripting is always off in this engine
+            if name == "noscript":
+                if self.scripting:
+                    # scripting on: generic raw text (spec in-head)
+                    self._generic_text(tok, rawtext=True)
+                    return None
                 self._insert_html_element(name, tok[2])
                 self.mode = IN_HEAD_NOSCRIPT
                 return None
@@ -1324,6 +1308,14 @@ class TreeBuilder:
             self.frameset_ok = False
             return None
         if name == "input":
+            # select-aware per reworked select parsing
+            # (TreeConstructor.php:754-773)
+            if self.fragment_context == (HTML_NS, "select"):
+                self._err("unexpected-start-tag")
+                return None
+            if self._in_scope("select"):
+                self._err("unexpected-start-tag")
+                self._pop_until("select")
             self._reconstruct_afe()
             self._insert_html_element(name, attrs)
             self.stack.pop()
@@ -1337,6 +1329,12 @@ class TreeBuilder:
         if name == "hr":
             if self._in_scope("p", BUTTON_SCOPE):
                 self._close_p()
+            # select-aware per reworked select parsing
+            # (TreeConstructor.php:799-825)
+            if self._in_scope("select"):
+                self._generate_implied()
+                if self._in_scope("option") or self._in_scope("optgroup"):
+                    self._err("unexpected-start-tag")
             self._insert_html_element(name, attrs)
             self.stack.pop()
             self.frameset_ok = False
@@ -1363,27 +1361,40 @@ class TreeBuilder:
             self.frameset_ok = False
             self._generic_text(tok, rawtext=True)
             return None
-        if name == "noembed":
+        if name == "noembed" or (name == "noscript" and self.scripting):
             self._generic_text(tok, rawtext=True)
             return None
         if name == "select":
+            # reworked select parsing (TreeConstructor.php:890-917)
+            if self.fragment_context == (HTML_NS, "select"):
+                self._err("unexpected-start-tag")
+                return None
+            if self._in_scope("select"):
+                self._err("unexpected-start-tag")
+                self._pop_until("select")
+                return None
             self._reconstruct_afe()
             self._insert_html_element(name, attrs)
             self.frameset_ok = False
-            if self.mode in (
-                IN_TABLE,
-                IN_CAPTION,
-                IN_TABLE_BODY,
-                IN_ROW,
-                IN_CELL,
-            ):
-                self.mode = IN_SELECT_IN_TABLE
-            else:
-                self.mode = IN_SELECT
             return None
-        if name in ("optgroup", "option"):
-            cur = self.current
-            if cur.namespace == HTML_NS and cur.name == "option":
+        if name == "option":
+            # TreeConstructor.php:918-938
+            if self._in_scope("select"):
+                self._generate_implied(exclude="optgroup")
+                if self._in_scope("option"):
+                    self._err("unexpected-start-tag")
+            elif self.current.namespace == HTML_NS and self.current.name == "option":
+                self.stack.pop()
+            self._reconstruct_afe()
+            self._insert_html_element(name, attrs)
+            return None
+        if name == "optgroup":
+            # TreeConstructor.php:940-962
+            if self._in_scope("select"):
+                self._generate_implied()
+                if self._in_scope("option") or self._in_scope("optgroup"):
+                    self._err("unexpected-start-tag")
+            elif self.current.namespace == HTML_NS and self.current.name == "option":
                 self.stack.pop()
             self._reconstruct_afe()
             self._insert_html_element(name, attrs)
@@ -2021,126 +2032,7 @@ class TreeBuilder:
         self._clear_afe_to_marker()
         self.mode = IN_ROW
 
-    # -- select / template / after modes --------------------------------
-    def _m_in_select(self, tok):
-        kind = tok[0]
-        if kind in ("Character", "Space"):
-            data = tok[1].replace("\x00", "")
-            if data:
-                self._insert_text(data)
-            return None
-        if kind == "Comment" or kind == "PI":
-            self._insert_comment(tok[1], is_pi=kind == "PI")
-            return None
-        if kind == "Doctype":
-            self._err("unexpected-doctype")
-            return None
-        if kind == "EOF":
-            return self._m_in_body(tok)
-        if kind == "StartTag":
-            name = tok[1]
-            if name == "html":
-                return self._m_in_body(tok)
-            if name == "option":
-                if (
-                    self.current.namespace == HTML_NS
-                    and self.current.name == "option"
-                ):
-                    self.stack.pop()
-                self._insert_html_element(name, tok[2])
-                return None
-            if name == "optgroup":
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "option":
-                    self.stack.pop()
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "optgroup":
-                    self.stack.pop()
-                self._insert_html_element(name, tok[2])
-                return None
-            if name == "hr":
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "option":
-                    self.stack.pop()
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "optgroup":
-                    self.stack.pop()
-                self._insert_html_element(name, tok[2])
-                self.stack.pop()
-                return None
-            if name == "select":
-                self._err("unexpected-select-in-select")
-                if self._select_in_scope():
-                    self._pop_until("select")
-                    self._reset_insertion_mode()
-                return None
-            if name in ("input", "keygen", "textarea"):
-                self._err("unexpected-input-in-select")
-                if self._select_in_scope():
-                    self._pop_until("select")
-                    self._reset_insertion_mode()
-                    return _REPROCESS
-                return None
-            if name in ("script", "template"):
-                return self._m_in_head(tok)
-        elif kind == "EndTag":
-            name = tok[1]
-            if name == "optgroup":
-                cur = self.current
-                if (
-                    cur.namespace == HTML_NS
-                    and cur.name == "option"
-                    and len(self.stack) >= 2
-                    and self.stack[-2].namespace == HTML_NS
-                    and self.stack[-2].name == "optgroup"
-                ):
-                    self.stack.pop()
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "optgroup":
-                    self.stack.pop()
-                else:
-                    self._err("unexpected-end-tag")
-                return None
-            if name == "option":
-                cur = self.current
-                if cur.namespace == HTML_NS and cur.name == "option":
-                    self.stack.pop()
-                else:
-                    self._err("unexpected-end-tag")
-                return None
-            if name == "select":
-                if not self._select_in_scope():
-                    self._err("unexpected-end-tag")
-                    return None
-                self._pop_until("select")
-                self._reset_insertion_mode()
-                return None
-            if name == "template":
-                return self._m_in_head(tok)
-        self._err("unexpected-token-in-select")
-        return None
-
-    def _m_in_select_in_table(self, tok):
-        kind = tok[0]
-        if kind in ("StartTag", "EndTag"):
-            name = tok[1]
-            if name in (
-                "caption",
-                "table",
-                "tbody",
-                "tfoot",
-                "thead",
-                "tr",
-                "td",
-                "th",
-            ):
-                self._err("unexpected-table-element-in-select")
-                if kind == "EndTag" and not self._in_scope(name, TABLE_SCOPE):
-                    return None
-                self._pop_until("select")
-                self._reset_insertion_mode()
-                return _REPROCESS
-        return self._m_in_select(tok)
+    # -- template / after modes ------------------------------------------
 
     def _m_in_template(self, tok):
         kind = tok[0]
@@ -2354,12 +2246,12 @@ _IN_HEAD_DELEGATE = frozenset(
 _BLOCK_START = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer header hgroup main menu nav ol p
-    section summary ul""".split()
+    search section summary ul""".split()
 )
 _BLOCK_END = frozenset(
     """address article aside blockquote button center details dialog dir div
     dl fieldset figcaption figure footer header hgroup listing main menu nav
-    ol pre section summary ul""".split()
+    ol pre search section select summary ul""".split()
 )
 _FORMATTING_START = frozenset(
     "b big code em font i s small strike strong tt u".split()
@@ -2382,8 +2274,6 @@ MODE_TABLE = [
     TreeBuilder._m_in_table_body,
     TreeBuilder._m_in_row,
     TreeBuilder._m_in_cell,
-    TreeBuilder._m_in_select,
-    TreeBuilder._m_in_select_in_table,
     TreeBuilder._m_in_template,
     TreeBuilder._m_after_body,
     TreeBuilder._m_in_frameset,

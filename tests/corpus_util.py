@@ -123,12 +123,21 @@ def load_dat_blocks(path, start_keys=("data",)):
 
 
 def load_tree_tests(path):
-    """Yield dicts: data, errors(list), fragment(context or None), expected."""
+    """Yield dicts: data, errors(list), fragment(context or None), expected.
+
+    Engine extension over the html5lib format: an optional
+    ``#engine-errors`` section lists the expected parse-error CODES in
+    order (the reference only asserts counts,
+    TestTreeConstructor.php:134-135 — codes are a stronger oracle)."""
     for case in load_dat_blocks(path):
         frag = case.get("document-fragment")
+        codes = case.get("engine-errors")
         yield {
             "data": case.get("data", ""),
             "n_errors": len([l for l in case.get("errors", "").split("\n") if l]),
+            "error_codes": (
+                [l for l in codes.split("\n") if l] if codes is not None else None
+            ),
             "fragment": frag.strip() if frag else None,
             "expected": case.get("document", ""),
             "script": (

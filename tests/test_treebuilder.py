@@ -27,7 +27,11 @@ def _collect():
 
 @pytest.mark.parametrize("case,pi", _collect())
 def test_tree_case(case, pi):
-    config = Config(processing_instructions=pi, error_collection=True)
+    config = Config(
+        processing_instructions=pi,
+        error_collection=True,
+        scripting=case["script"] == "on",
+    )
     if case["fragment"]:
         frag = parse_fragment(case["fragment"], case["data"], config=config)
         got = serialize_test_format(frag)
@@ -40,6 +44,13 @@ def test_tree_case(case, pi):
             assert len(out.errors) == case["n_errors"], (
                 f"error count {len(out.errors)} != {case['n_errors']} "
                 f"for {case['data']!r}: {out.errors}"
+            )
+        if case["error_codes"] is not None:
+            # engine-authored cases may pin exact error CODES in order
+            got_codes = [e[0] for e in out.errors]
+            assert got_codes == case["error_codes"], (
+                f"error codes {got_codes!r} != {case['error_codes']!r} "
+                f"for {case['data']!r}"
             )
     assert got == case["expected"], (
         f"input: {case['data']!r}\n--- got ---\n{got}\n--- want ---\n{case['expected']}"
