@@ -2,10 +2,14 @@
 
 Reference parity: mensbeam/HTML-Parser lib/Parser/Serializer.php
 (serialize/serializeInner :70-81, node walk :113-528, escaping
-lib/Parser/NameCoercion.php:69-83).  The reference's optional
-pretty-printer (Serializer.php BLOCK_QUERY et al.) is a non-standard
-convenience and an explicit non-goal (SURVEY.md §2.2 Z3); its
-boolean-attribute compression option is likewise omitted.
+lib/Parser/NameCoercion.php:69-83).  Option parity:
+- booleanAttributeValues -> ``bool_attr`` (implemented)
+- foreignVoidEndTags     -> ``foreign_void_end_tags`` (implemented)
+- reformatWhitespace / indentStep / indentWithSpaces / groupElements
+  (the pretty-printer, Serializer.php:56-68,133-208): explicit
+  NON-GOALS — non-standard output-beautification that cannot affect
+  span equality; each would require the XPath BLOCK_QUERY emulation
+  for zero extraction value (SURVEY.md §2.2 Z3).
 """
 
 from .dom import (
@@ -62,7 +66,7 @@ def _attr_name(el, qname):
     return f"{prefix}:{local}" if prefix else local
 
 
-def _serialize_node(node, out, bool_attr=False):
+def _serialize_node(node, out, bool_attr=False, foreign_void_end_tags=True):
     # Iterative (explicit stack): survives pathologically deep documents
     # that would blow Python's recursion limit.  Literal strings on the
     # stack are emitted as-is (used for deferred end tags).
@@ -89,15 +93,25 @@ def _serialize_node(node, out, bool_attr=False):
                 out.append('="')
                 out.append(value.translate(_ESC_ATTR))
                 out.append('"')
-            out.append(">")
-            if item.namespace == HTML_NS and item.name in VOID_ELEMENTS:
-                continue
-            stack.append(f"</{name}>")
             kids = (
                 item.template_content.children
                 if item.template_content is not None
                 else item.children
             )
+            if (
+                not foreign_void_end_tags
+                and item.namespace != HTML_NS
+                and not kids
+            ):
+                # childless foreign element as self-closing start tag
+                # (reference Serializer option foreignVoidEndTags=false,
+                # Serializer.php:287-290)
+                out.append("/>")
+                continue
+            out.append(">")
+            if item.namespace == HTML_NS and item.name in VOID_ELEMENTS:
+                continue
+            stack.append(f"</{name}>")
             stack.extend(reversed(kids))
         elif isinstance(item, Text):
             parent = item.parent
@@ -119,18 +133,24 @@ def _serialize_node(node, out, bool_attr=False):
             stack.extend(reversed(item.children))
 
 
-def serialize(node, bool_attr: bool = False) -> str:
+def serialize(
+    node, bool_attr: bool = False, foreign_void_end_tags: bool = True
+) -> str:
     """outerHTML: the node itself plus its subtree.
 
     ``bool_attr=True`` omits values of known boolean attributes
     (reference Serializer option, Serializer.php:22-53).
+    ``foreign_void_end_tags=False`` self-closes childless foreign
+    elements instead of emitting end tags (Serializer.php:287-290).
     """
     out = []
-    _serialize_node(node, out, bool_attr)
+    _serialize_node(node, out, bool_attr, foreign_void_end_tags)
     return "".join(out)
 
 
-def serialize_inner(node, bool_attr: bool = False) -> str:
+def serialize_inner(
+    node, bool_attr: bool = False, foreign_void_end_tags: bool = True
+) -> str:
     """innerHTML: children only (template elements: their contents)."""
     out = []
     kids = (
@@ -139,5 +159,5 @@ def serialize_inner(node, bool_attr: bool = False) -> str:
         else node.children
     )
     for child in kids:
-        _serialize_node(child, out, bool_attr)
+        _serialize_node(child, out, bool_attr, foreign_void_end_tags)
     return "".join(out)

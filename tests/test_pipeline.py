@@ -155,3 +155,28 @@ def test_multifile_corpus_file_level_sharding(tmp_path):
         list(range(0, 10)) + list(range(10, 20)) + list(range(20, 30)) + list(range(30, 40))
     )
     assert len(seen) == len(set(seen))
+
+
+def test_golden_span_fingerprints_frozen():
+    """Frozen-oracle check: the full Ray pipeline's span fingerprints
+    at sf0.001 must match the committed golden parquet byte-for-byte.
+    Regenerate ONLY via `python tools/gen_golden_spans.py --write`
+    after an intentional extraction-semantics change."""
+    import os
+
+    import pandas as pd
+
+    from html_extract import pipeline as P
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "span_fp_sf0.001.parquet"
+    )
+    golden = pd.read_parquet(golden_path)
+    got = (
+        P.span_fingerprints(P.extracted_dataset("/root/testdata/sf0.001"))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    mism = got[got["fp"] != golden["fp"]]
+    assert len(mism) == 0, f"{len(mism)} fingerprint mismatches: {mism.head()}"

@@ -199,3 +199,60 @@ def test_serialize_reparse_fixed_point_on_corpus():
         s1 = serialize(parse(html).document)
         s2 = serialize(parse(s1).document)
         assert s1 == s2
+
+
+def test_serializer_options_matrix():
+    """Option matrix shaped like the reference's
+    TestSerializer.php:125-139 provideCustomSerializations."""
+    from html_extract.parser import parse, parse_fragment
+    from html_extract.serializer import serialize, serialize_inner
+
+    def body_inner(html, **opts):
+        doc = parse(html).document
+        body = doc.children[-1].children[-1]
+        return serialize_inner(body, **opts)
+
+    # foreignVoidEndTags=false: childless foreign elements self-close
+    assert (
+        body_inner("<svg><circle r='1'></circle></svg>", foreign_void_end_tags=False)
+        == '<svg><circle r="1"/></svg>'
+    )
+    # ... but foreign elements WITH children keep end tags
+    assert (
+        body_inner("<svg><g><rect/></g></svg>", foreign_void_end_tags=False)
+        == "<svg><g><rect/></g></svg>"
+    )
+    # default (spec) keeps end tags
+    assert (
+        body_inner("<svg><circle></circle></svg>")
+        == "<svg><circle></circle></svg>"
+    )
+    # HTML void elements are never affected by the option
+    assert body_inner("<br>", foreign_void_end_tags=False) == "<br>"
+    # boolean attribute value omission, combined with foreign-void
+    assert (
+        body_inner(
+            "<input type='checkbox' checked=''><svg><rect/></svg>",
+            bool_attr=True,
+            foreign_void_end_tags=False,
+        )
+        == '<input type="checkbox" checked><svg><rect/></svg>'
+    )
+    # bool_attr only compresses empty/name-valued booleans
+    assert (
+        body_inner("<input checked='yes'>", bool_attr=True)
+        == '<input checked="yes">'
+    )
+    # fragment serialization with options
+    frag = parse_fragment("div", "<math><mi>x</mi><mspace></mspace></math>")
+    assert (
+        serialize(frag, foreign_void_end_tags=False)
+        == "<math><mi>x</mi><mspace/></math>"
+    )
+    # template contents serialize through serialize_inner
+    doc = parse("<template><svg><path></path></svg></template>").document
+    head = doc.children[-1].children[0]
+    tpl = head.children[0]
+    assert (
+        serialize_inner(tpl, foreign_void_end_tags=False) == "<svg><path/></svg>"
+    )
