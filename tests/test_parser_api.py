@@ -65,13 +65,65 @@ def test_domparser_html():
     assert out.encoding == "windows-1252"  # label maps per WHATWG registry
 
 
-def test_domparser_xml_unsupported():
-    with pytest.raises(NotImplementedError):
-        parse_from_string("<x/>", "application/xhtml+xml")
+def test_domparser_rejects_non_html_non_xml():
     with pytest.raises(ValueError):
         parse_from_string("x", "image/png")
     with pytest.raises(ValueError):
         parse_from_string("x", "not a mime")
+
+
+def test_domparser_xml_well_formed():
+    from html_extract.serializer import serialize
+
+    out = parse_from_string(
+        "<root a='1'><child>text &amp; more</child><!--c--></root>",
+        "application/xml",
+    )
+    assert (
+        serialize(out.document)
+        == '<root a="1"><child>text &amp; more</child><!--c--></root>'
+    )
+    # prefixes and xmlns attributes survive verbatim (documented subset)
+    out2 = parse_from_string(
+        "<svg xmlns='http://www.w3.org/2000/svg'><circle r='1'/></svg>",
+        "image/svg+xml",
+    )
+    assert (
+        serialize(out2.document, foreign_void_end_tags=False)
+        == '<svg xmlns="http://www.w3.org/2000/svg"><circle r="1"/></svg>'
+    )
+
+
+def test_domparser_xml_parsererror_document():
+    """Malformed XML yields a Mozilla parsererror document (reference
+    DOMParser.php:125-137), never an exception."""
+    out = parse_from_string("<root><unclosed></root>", "text/xml")
+    root = out.document.children[0]
+    assert root.name == "parsererror"
+    assert root.attrs["xmlns"].endswith("parsererror.xml")
+    assert root.attrs["code"] and root.attrs["line"] == "1"
+    out2 = parse_from_string("not xml", "application/xhtml+xml")
+    assert out2.document.children[0].name == "parsererror"
+    out3 = parse_from_string("", "application/xml")
+    assert out3.document.children[0].name == "parsererror"
+
+
+def test_domparser_xml_encodings():
+    from html_extract.serializer import serialize
+
+    raw = "<?xml version='1.0' encoding='windows-1252'?><r>\xe9</r>".encode(
+        "windows-1252"
+    )
+    out = parse_from_string(raw, "application/xml")
+    assert serialize(out.document) == "<r>\xe9</r>"
+    out2 = parse_from_string(
+        b"<r>caf\xc3\xa9</r>", "application/xml; charset=utf-8"
+    )
+    assert serialize(out2.document) == "<r>caf\xe9</r>"
+    # UTF-16 BOM wins over everything
+    raw16 = "<r>x</r>".encode("utf-16-le")
+    out3 = parse_from_string(b"\xff\xfe" + raw16, "application/xml")
+    assert serialize(out3.document) == "<r>x</r>"
 
 
 def test_bytes_input_with_bom():
