@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": D.orders_by_nation,
         "ann_topk": D.ann_topk,
         # dedup / similarity (non-SQL -> rows-only)
+        "minhash_candidates": D.minhash_candidates,
         "minhash_dedup": D.minhash_dedup,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dups": D.embedding_near_dups,
