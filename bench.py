@@ -95,7 +95,15 @@ def run_bench():
         hi = max(2, NUM_CPUS * 3 // 4)
     pool = (hi, hi)
     t0 = time.perf_counter()
-    ds = rd.read_parquet(corpus_dir, columns=["doc_id", "spans", "n_bytes"])
+    from html_extract.dataops import _clean_schema
+    import glob as _glob
+
+    _first = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))[0]
+    ds = rd.read_parquet(
+        corpus_dir,
+        columns=["doc_id", "spans", "n_bytes"],
+        schema=_clean_schema(_first, ["doc_id", "spans", "n_bytes"]),
+    )
     n_docs, n_spans, n_bytes = consume(
         P.extracted_dataset(ds=ds, concurrency=pool, batch_size=64)
     )

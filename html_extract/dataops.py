@@ -42,11 +42,27 @@ def _read(sf_dir, name, columns) -> rd.Dataset:
     """
     path = _path(sf_dir, name)
     size = os.path.getsize(path)
+    schema = _clean_schema(path, columns)
     if size > (1 << 30):
-        return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(path, columns=columns, schema=schema)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nblocks = max(4, min(cpus, 64), size // (16 << 20))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=int(nblocks))
+    return rd.read_parquet(
+        path, columns=columns, schema=schema, override_num_blocks=int(nblocks)
+    )
+
+
+def _clean_schema(path, columns=None):
+    """Parquet schema minus file metadata.  pandas-written files carry a
+    b'pandas' schema-metadata dict that makes Arrow schemas UNHASHABLE,
+    so every Ray schema-unification logs "Failed to hash the schemas";
+    reading with an explicit metadata-free schema keeps blocks clean."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return sch
+    return pa.schema([sch.field(c) for c in columns])
 
 
 # ---------------------------------------------------------------------------
@@ -981,17 +997,42 @@ def minhash_dedup(
     return out.sort_values("doc_id", ignore_index=True)
 
 
-def simhash_fingerprints(sf_dir) -> rd.Dataset:
+class SimHashActor:
     """64-bit SimHash per document (deterministic blake2 token hashes).
 
     Vectorized: each batch hashes its UNIQUE tokens once (blake2b),
     expands digests to a (n_unique, 64) bit matrix with np.unpackbits,
     and accumulates per-document bit votes with np.add.at — no
     per-token-per-bit Python loop.  Bit-identical to the naive
-    per-token kernel (bit i of the big-endian digest)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    per-token kernel (bit i of the big-endian digest).  Stateful: the
+    token->bit-row cache persists across batches (natural-language
+    vocab is Zipfian, so most tokens repeat), bounded at ~1M entries."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    _CACHE_MAX = 1_000_000
+
+    def __init__(self):
+        self.cache: dict = {}
+
+    def _bits_for(self, uniq):
+        cache = self.cache
+        missing = [u for u in uniq if u not in cache]
+        if missing:
+            digests = np.frombuffer(
+                b"".join(
+                    hashlib.blake2b(u.encode(), digest_size=8).digest()
+                    for u in missing
+                ),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            # column i = bit i of the big-endian 64-bit digest value
+            new_bits = np.unpackbits(digests, axis=1, bitorder="big")[:, ::-1]
+            if len(cache) + len(missing) > self._CACHE_MAX:
+                cache.clear()
+            for u, row in zip(missing, new_bits):
+                cache[u] = row
+        return np.stack([cache[u] for u in uniq])
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n_docs = len(df)
         # (doc_row, token) pairs, unique token per doc (set semantics)
         tok_sets = [set(t.split()) for t in df["text"]]
@@ -1011,26 +1052,29 @@ def simhash_fingerprints(sf_dir) -> rd.Dataset:
                 pos += 1
         row_ids = np.repeat(np.arange(n_docs), counts)
         uniq, inv = np.unique(flat, return_inverse=True)
-        digests = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(u.encode(), digest_size=8).digest()
-                for u in uniq
-            ),
-            dtype=np.uint8,
-        ).reshape(-1, 8)
-        # column i = bit i of the big-endian 64-bit digest value
-        bits = np.unpackbits(digests, axis=1, bitorder="big")[:, ::-1]
+        bits = self._bits_for(uniq)
         ones = np.zeros((n_docs, 64), dtype=np.int64)
         np.add.at(ones, row_ids, bits[inv].astype(np.int64))
         # vote: bit set iff ones > zeros  (acc = 2*ones - n_toks > 0)
         pos_bits = (2 * ones) > counts[:, None]
         vals = (
-            pos_bits.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            pos_bits.astype(np.uint64)
+            * (np.uint64(1) << np.arange(64, dtype=np.uint64))
         ).sum(axis=1, dtype=np.uint64)
         out = [f"{int(v):016x}" for v in vals]
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
 
-    return ds.map_batches(f, batch_format="pandas", batch_size=1024)
+
+_SIMHASH_KERNEL = SimHashActor()  # per-worker-process digest cache
+
+
+def simhash_fingerprints(sf_dir) -> rd.Dataset:
+    """Plain tasks (reuse warm workers; the digest cache lives at module
+    level so it persists per worker process across tasks anyway)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: _SIMHASH_KERNEL(df), batch_format="pandas", batch_size=1024
+    )
 
 
 def _normalize_rows(M: np.ndarray) -> np.ndarray:

@@ -100,7 +100,15 @@ def load_documents(sf_dir: str, shard=None, num_shards=None) -> rd.Dataset:
         # default turns downstream stages into empty-block task storms
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         kwargs["override_num_blocks"] = max(4, min(cpus, 64))
-    ds = rd.read_parquet(files, columns=["doc_id", "text"], **kwargs)
+    from .dataops import _clean_schema
+
+    ds = rd.read_parquet(
+        files,
+        columns=["doc_id", "text"],
+        schema=_clean_schema(files[0] if isinstance(files, list) else files,
+                             ["doc_id", "text"]),
+        **kwargs,
+    )
     if shard is not None and num_shards:
         def pick(t: pa.Table) -> pa.Table:
             import numpy as np
