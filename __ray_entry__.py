@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": D.lang_distribution,
         "doc_size_histogram": D.doc_size_histogram,
         "token_counts": D.token_counts,
+        "bpe_token_counts": D.bpe_token_counts,
         "quality_scores": D.quality_scores,
         "doc_fingerprints": D.doc_fingerprints,
         "normalized_text": D.normalized_text,
@@ -83,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_near_dups": D.embedding_near_dups,
         "ann_topk_lsh": D.ann_topk_lsh,
+        "ann_topk_ivf": D.ann_topk_ivf,
+        "winnow_fingerprints": D.winnow_fingerprints,
         "langid": D.langid,
         "user_sessions": D.user_sessions,
         "stopword_counts": D.stopword_counts,
@@ -117,6 +120,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                        AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores": """

@@ -1442,3 +1442,208 @@ def orders_by_nation(sf_dir) -> rd.Dataset:
     return partials.repartition(1).map_batches(
         combine, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# additional text/fingerprint/ANN operators (round 2)
+
+
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(_BPE_PAT)
+
+
+def bpe_token_counts(sf_dir) -> rd.Dataset:
+    """GPT-2-style pre-tokenizer count per document (contractions,
+    letter runs, digit runs, punctuation runs, whitespace runs) — the
+    'BPE-ish regex' token counter.  The same RE2-compatible pattern
+    runs in the DuckDB oracle via regexp_extract_all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": df["text"]
+                .str.count(_BPE_RE)
+                .astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+_WINNOW_C = np.uint64(1_000_003)  # odd multiplier for the rolling base
+
+
+def winnow_fingerprints(sf_dir, k: int = 5, w: int = 8) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling hash over character k-grams, then the minimum hash per
+    sliding window of w hashes, deduplicated — the classic
+    plagiarism/near-dup sketch.  Deterministic (content-only hashes);
+    fully vectorized per batch; emits fp as a sorted list<uint64>."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_fp(text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        n = b.size
+        if n < k:
+            if n == 0:
+                return np.empty(0, np.uint64)
+            acc = np.uint64(0)
+            for v in b:
+                acc = acc * _WINNOW_C + np.uint64(v)
+            return np.array([acc], np.uint64)
+        # polynomial rolling hash of every k-gram, vectorized:
+        # h[i] = sum_j b[i+j] * C^(k-1-j)  (wrapping uint64)
+        pows = np.empty(k, np.uint64)
+        pows[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            pows[j] = pows[j + 1] * _WINNOW_C
+        h = np.zeros(n - k + 1, np.uint64)
+        bb = b.astype(np.uint64)
+        for j in range(k):
+            h += bb[j : n - k + 1 + j] * pows[j]
+        if h.size <= w:
+            return np.unique(h.min(keepdims=True))
+        # min per sliding window of w via stride trick
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(h, w).min(axis=1)
+        return np.unique(mins)
+
+    def f(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            fps = [doc_fp(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp": pa.array(
+                    [a.tolist() for a in fps], pa.list_(pa.uint64())
+                ),
+                "n_fp": pa.array([len(a) for a in fps], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1024)
+
+
+def ann_topk_ivf(
+    sf_dir, n_queries=5, k=10, n_lists=16, n_probe=4, num_partitions=None
+) -> pd.DataFrame:
+    """IVF-style ANN (the coarse-quantizer alternative to the LSH path):
+    deterministic sampled centroids partition the corpus into inverted
+    lists; each query searches only its ``n_probe`` nearest lists.
+
+    Ray shape: the (tiny) centroid matrix is broadcast via ray.put; a
+    map stage assigns every vector to its list (one matmul per batch);
+    rows shuffle by list id; each list computes partial top-k for the
+    queries probing it; a final keyed combine per query merges.  At
+    10^12 scale the sample/centroid step runs on a fixed-size sample
+    and everything else is the same map + one shuffle."""
+    import pyarrow.parquet as pq
+
+    # deterministic centroids: k-means-free coarse quantizer — evenly
+    # strided sample rows, normalized (stable across runs/machines)
+    head = pq.read_table(
+        _path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    n_total = head.num_rows
+    stride = max(1, n_total // n_lists)
+    sample_idx = list(range(0, n_total, stride))[:n_lists]
+    C = _normalize_rows(
+        _stack_embeddings(head.column("embedding").take(sample_idx).to_pylist())
+    )
+    del head
+    c_ref = ray.put(C)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Assigner:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            Mn = _normalize_rows(_stack_embeddings(df["embedding"]))
+            lists = np.argmax(Mn @ self.C.T, axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy(),
+                    "list_id": lists.astype("int64"),
+                    "embedding": list(df["embedding"]),
+                }
+            )
+
+    assigned = ds.map_batches(
+        Assigner, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+    )
+
+    # queries probe their n_probe nearest lists (driver computes the tiny
+    # query->lists map from the broadcast centroids)
+    qtbl = pq.read_table(
+        _path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    Qn = _normalize_rows(_stack_embeddings(qtbl.column("embedding").to_pylist()))
+    q_ids = np.asarray(qtbl.column("vec_id").to_pylist())
+    probe = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :n_probe]
+    probe_map = {}  # list_id -> [query row positions]
+    for qi, lists in enumerate(probe):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    pm_ref = ray.put((q_ids, Qn, probe_map))
+
+    _empty = {
+        "query_id": pd.Series(dtype="int64"),
+        "neighbor_id": pd.Series(dtype="int64"),
+        "sim": pd.Series(dtype="float64"),
+    }
+
+    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, Qn_, pm = ray.get(pm_ref)
+        frames = []
+        for li, sub in g.groupby("list_id", sort=False):
+            probers = pm.get(int(li))
+            if not probers:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            Mn = _normalize_rows(_stack_embeddings(sub["embedding"]))
+            sims_all = Mn @ Qn_[probers].T  # (m, n_probers)
+            for col, qi in enumerate(probers):
+                sims = sims_all[:, col]
+                order = np.lexsort((ids, -sims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), q_ids_[qi]),
+                            "neighbor_id": ids[order],
+                            "sim": sims[order],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(_empty)
+        return pd.concat(frames, ignore_index=True)
+
+    partial = _partition_apply(assigned, ["list_id"], list_topk, num_partitions)
+
+    def merge_query(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "neighbor_id"])
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("query_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        return top[["query_id", "neighbor_id", "rank"]]
+
+    out = _partition_apply(partial, ["query_id"], merge_query, num_partitions)
+    res = out.to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("query_id", "neighbor_id", "rank")}
+        )
+    return res.sort_values(
+        ["query_id", "rank"], ignore_index=True
+    ).astype("int64")

@@ -397,3 +397,77 @@ def test_embedding_near_dups_recall_planted_batch(tmp_path):
     got = set(zip(pairs["a"], pairs["b"]))
     found = sum(1 for p in planted if p in got)
     assert found >= 19  # >= 95% recall on planted pairs
+
+
+def test_bpe_token_counts_matches_python_regex():
+    import re
+
+    from html_extract import dataops as D
+
+    got = D.bpe_token_counts(SF).to_pandas().set_index("doc_id")["n_bpe_tokens"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(D._BPE_PAT)
+    for did, text in zip(docs["doc_id"].head(50), docs["text"].head(50)):
+        assert got[did] == len(pat.findall(text))
+
+
+def test_winnow_fingerprints_detect_shared_content(tmp_path):
+    """Winnowing: documents sharing a long substring share fingerprint
+    hashes; disjoint documents share (almost) none; deterministic."""
+    from html_extract import dataops as D
+
+    shared = "the quick brown fox jumps over the lazy dog " * 5
+    a = "intro text. " + shared + " outro a."
+    b = "different start! " + shared + " and another ending."
+    c = "zz " * 80
+    _write_docs(tmp_path, [1, 2, 3], [a, b, c])
+    out = D.winnow_fingerprints(str(tmp_path)).to_pandas()
+    fps = {r.doc_id: set(r.fp) for r in out.itertuples()}
+    inter_ab = len(fps[1] & fps[2]) / min(len(fps[1]), len(fps[2]))
+    inter_ac = len(fps[1] & fps[3]) / min(len(fps[1]), len(fps[3]))
+    assert inter_ab > 0.5       # shared run dominates
+    assert inter_ac < 0.05      # disjoint content
+    out2 = D.winnow_fingerprints(str(tmp_path)).to_pandas()
+    assert out.sort_values("doc_id", ignore_index=True).equals(
+        out2.sort_values("doc_id", ignore_index=True)
+    )
+
+
+def test_ann_ivf_recall_vs_bruteforce_planted(tmp_path):
+    """Same planted-cluster recall bar as the LSH path (>= 0.8)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(21)
+    dim, nq, per = 24, 5, 9
+    vecs = [rng.normal(size=dim) for _ in range(nq)]
+    M = list(vecs)
+    for q in range(nq):
+        for _ in range(per):
+            M.append(vecs[q] + rng.normal(scale=0.05, size=dim))
+    for _ in range(150):
+        M.append(rng.normal(size=dim))
+    M = np.asarray(M, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(M)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in M], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    brute = D.ann_topk(str(tmp_path), n_queries=nq, k=10)
+    ivf = D.ann_topk_ivf(str(tmp_path), n_queries=nq, k=10)
+    recalls = []
+    for q in range(nq):
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8
+    # self is rank 1 (query's own list is always probed)
+    firsts = ivf[ivf["rank"] == 1]
+    assert (firsts["query_id"] == firsts["neighbor_id"]).all()
