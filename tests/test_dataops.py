@@ -471,3 +471,60 @@ def test_ann_ivf_recall_vs_bruteforce_planted(tmp_path):
     # self is rank 1 (query's own list is always probed)
     firsts = ivf[ivf["rank"] == 1]
     assert (firsts["query_id"] == firsts["neighbor_id"]).all()
+
+
+def test_minhash_dedup_sf01_planted_dups_no_driver_load(tmp_path, monkeypatch):
+    """VERDICT r1 done-bar: minhash_dedup on an sf0.1-scale corpus with
+    >= 20% planted near-dups — correct clusters, and NO driver-side
+    whole-corpus structure (pd.read_parquet of the documents table on
+    the driver is forbidden during the run)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].tolist()
+    texts = docs["text"].tolist()
+    n = len(ids)
+    rng = np.random.RandomState(5)
+    planted = []
+    n_plant = n // 5  # 20%
+    base_pick = rng.randint(0, n, size=n_plant)
+    next_id = max(ids) + 1
+    for j, src in enumerate(base_pick):
+        toks = texts[src].split()
+        if len(toks) < 30:
+            continue
+        toks[len(toks) // 2] = f"PLANTED{j}"
+        ids.append(next_id + j)
+        texts.append(" ".join(toks))
+        planted.append((ids[src], next_id + j))
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    real_read_parquet = pd.read_parquet
+
+    def guarded(path, *a, **k):
+        if "documents" in str(path):
+            raise AssertionError(
+                "driver-side pd.read_parquet of the documents table "
+                "during minhash_dedup — the r1 scale-killer"
+            )
+        return real_read_parquet(path, *a, **k)
+
+    monkeypatch.setattr(pd, "read_parquet", guarded)
+    got = D.minhash_dedup(str(tmp_path), jaccard_threshold_pct=70)
+    monkeypatch.undo()
+
+    assert len(got) == len(ids)
+    cmap = dict(zip(got["doc_id"], got["cluster_id"]))
+    hits = sum(1 for a, b in planted if cmap[a] == cmap[b])
+    # one word changed in a >=30-token doc -> Jaccard well above 0.7;
+    # MinHash-LSH recall at s~0.95 with 32x4 bands is ~1.0
+    assert hits / len(planted) >= 0.95
