@@ -359,9 +359,14 @@ def run_pipeline(
     for shard in range(num_shards):
         mpath = os.path.join(manifest_dir, f"shard-{shard}.json")
         if resume and os.path.exists(mpath):
-            with open(mpath) as f:
-                manifests.append(json.load(f))
-            continue
+            try:
+                with open(mpath) as f:
+                    manifests.append(json.load(f))
+                continue
+            except (json.JSONDecodeError, OSError):
+                # torn/corrupt manifest (e.g. crash mid-write): treat the
+                # shard as incomplete and recompute it
+                os.remove(mpath)
         t0 = time.time()
         ds = interleaved_dataset(sf_dir, shard=shard, num_shards=num_shards)
         out = extracted_dataset(

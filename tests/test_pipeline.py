@@ -180,3 +180,27 @@ def test_golden_span_fingerprints_frozen():
     assert got["doc_id"].tolist() == golden["doc_id"].tolist()
     mism = got[got["fp"] != golden["fp"]]
     assert len(mism) == 0, f"{len(mism)} fingerprint mismatches: {mism.head()}"
+
+
+def test_resume_recomputes_on_corrupt_manifest(tmp_path):
+    """A torn/corrupt manifest JSON (crash mid-write) must mark the
+    shard incomplete and recompute it, not crash the resume."""
+    import json
+    import os
+
+    from html_extract import pipeline as P
+
+    out = str(tmp_path / "out")
+    m1 = P.run_pipeline("/root/testdata/sf0.001", out, num_shards=2)
+    assert len(m1) == 2
+    mpath = os.path.join(out, "_manifests", "shard-1.json")
+    with open(mpath, "w") as f:
+        f.write('{"truncated": ')  # torn write
+    m2 = P.run_pipeline("/root/testdata/sf0.001", out, num_shards=2)
+    assert len(m2) == 2
+    with open(mpath) as f:
+        fixed = json.load(f)
+    assert fixed["row_count"] == m1[1]["row_count"]
+    # shard 0 untouched (same completion stamp), shard 1 recomputed
+    assert m2[0]["completed_at"] == m1[0]["completed_at"]
+    assert m2[1]["completed_at"] != m1[1]["completed_at"]
