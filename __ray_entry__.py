@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": extract_spans,
         "extract_meta": extract_meta,
         "media_features": M.media_features,
+        "media_frames": M.media_frames,
         "reserialized_html": P.reserialized,
         "conformance_diff": lambda sf: P.conformance_diff(sf, num_partitions=8),
         # SQL-checkable table ops

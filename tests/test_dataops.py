@@ -528,3 +528,35 @@ def test_minhash_dedup_sf01_planted_dups_no_driver_load(tmp_path, monkeypatch):
     # one word changed in a >=30-token doc -> Jaccard well above 0.7;
     # MinHash-LSH recall at s~0.95 with 32x4 bands is ~1.0
     assert hits / len(planted) >= 0.95
+
+
+def test_media_resize_and_frames_plumbing():
+    """Resize + frame-sample actors: deterministic fakes, real schema/
+    row-expansion plumbing, strict mode raises at the kernel."""
+    import pyarrow as pa
+
+    from html_extract import multimodal as M
+
+    t = pa.table({"asset_ref": [f"mem://a/{i}" for i in range(5)]})
+    r1 = M.MediaResizeActor(target=8)(t)
+    r2 = M.MediaResizeActor(target=8)(t)
+    assert r1.equals(r2)
+    assert all(w == 8 for w in r1["width"].to_pylist())
+    assert all(len(p) == 64 for p in r1["payload"].to_pylist())
+    with pytest.raises(NotImplementedError):
+        M.MediaResizeActor(strict=True)._resize(b"x" * 100)
+
+    f = M.FrameSampleActor(n_frames=3)(t)
+    assert f.num_rows == 15  # row expansion: 5 refs x 3 frames
+    assert f["frame_idx"].to_pylist()[:3] == [0, 1, 2]
+    with pytest.raises(NotImplementedError):
+        M.FrameSampleActor(strict=True)._frames(b"x" * 100)
+
+
+def test_media_frames_pipeline():
+    from html_extract import multimodal as M
+
+    out = M.media_frames(SF).to_pandas()
+    if len(out):  # video-typed refs exist in the corpus
+        assert set(out.columns) == {"asset_ref", "n_bytes", "features"}
+        assert all(len(f) == M.FEATURE_DIM for f in out["features"])
