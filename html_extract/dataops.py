@@ -511,6 +511,9 @@ def word_frequencies(sf_dir, k: int = 50, num_partitions=None) -> pd.DataFrame:
 
     cand = _keyed_agg(ds, partial, combine_topk, ["word"], num_partitions)
     agg = cand.to_pandas()
+    if "word" not in agg.columns:  # empty corpus
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
     agg = agg.sort_values(["n", "word"], ascending=[False, True], ignore_index=True)
     return agg.head(k).astype({"n": "int64"})
 
@@ -921,6 +924,8 @@ def minhash_dedup(
 
     if len(cand) == 0:
         out = ids.map_batches(own_cluster, batch_format="pandas").to_pandas()
+        if "doc_id" not in out.columns:  # empty corpus
+            return pd.DataFrame({"doc_id": [], "cluster_id": []})
         return out.sort_values("doc_id", ignore_index=True)
 
     sh = _shingle_table(sf_dir)
@@ -1548,6 +1553,10 @@ def ann_topk_ivf(
         _path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     n_total = head.num_rows
+    if n_total == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("query_id", "neighbor_id", "rank")}
+        )
     stride = max(1, n_total // n_lists)
     sample_idx = list(range(0, n_total, stride))[:n_lists]
     C = _normalize_rows(

@@ -560,3 +560,38 @@ def test_media_frames_pipeline():
     if len(out):  # video-typed refs exist in the corpus
         assert set(out.columns) == {"asset_ref", "n_bytes", "features"}
         assert all(len(f) == M.FEATURE_DIM for f in out["features"])
+
+
+def test_major_ops_handle_empty_corpus(tmp_path):
+    """Empty documents/embeddings tables: every major op returns an
+    empty result rather than raising (the empty-block bug class)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    td = str(tmp_path)
+    assert D.exact_dedup(td).count() == 0
+    assert len(D.minhash_candidates(td)) == 0
+    assert len(D.minhash_dedup(td)) == 0
+    assert D.simhash_fingerprints(td).count() == 0
+    assert len(D.word_frequencies(td)) == 0
+    assert D.winnow_fingerprints(td).count() == 0
+    assert len(D.embedding_near_dups(td)) == 0
+    assert len(D.ann_topk_lsh(td)) == 0
+    assert len(D.ann_topk_ivf(td)) == 0
