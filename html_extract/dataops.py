@@ -364,31 +364,35 @@ def quality_scores(sf_dir) -> rd.Dataset:
 
 
 class LangIdActor:
-    """n-gram/stopword heuristic language ID (stateful: tables compiled
-    once per actor)."""
+    """Stopword-profile language ID (stateful: per-language stopword
+    regexes compiled once per actor; scoring is vectorized pandas
+    str.count per language — no per-row Python loop)."""
 
     def __init__(self):
-        self.stop = {k: v for k, v in _STOPWORDS.items()}
-        self.word_re = re.compile(r"[a-zà-ÿäöüß]+")
+        self.langs = list(_STOPWORDS)
+        self.lang_res = [
+            re.compile(
+                r"(?<![a-zà-ÿäöüß])(?:"
+                + "|".join(sorted(_STOPWORDS[lang], key=len, reverse=True))
+                + r")(?![a-zà-ÿäöüß])"
+            )
+            for lang in self.langs
+        ]
         self.cjk_re = re.compile(r"[一-鿿]")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in df["text"]:
-            if self.cjk_re.search(text):
-                out.append("zh")
-                continue
-            words = self.word_re.findall(text.lower())
-            if not words:
-                out.append("und")
-                continue
-            best, best_hits = "und", 0
-            for lang, stops in self.stop.items():
-                hits = sum(1 for w in words if w in stops)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out.append(best)
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": out})
+        lower = df["text"].str.lower()
+        scores = np.zeros((len(df), len(self.langs)), dtype=np.int64)
+        for i, rex in enumerate(self.lang_res):
+            scores[:, i] = lower.str.count(rex).to_numpy()
+        best = np.argmax(scores, axis=1)  # first max wins (dict order)
+        has_hit = scores.max(axis=1) > 0
+        pred = np.where(
+            has_hit, np.asarray(self.langs, dtype=object)[best], "und"
+        ).astype(object)
+        cjk = lower.str.contains(self.cjk_re).to_numpy()
+        pred[cjk] = "zh"
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
 
 
 def langid(sf_dir) -> rd.Dataset:
