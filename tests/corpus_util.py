@@ -132,12 +132,14 @@ def load_tree_tests(path):
     for case in load_dat_blocks(path):
         frag = case.get("document-fragment")
         codes = case.get("engine-errors")
+        quirks = case.get("engine-quirks")
         yield {
             "data": case.get("data", ""),
             "n_errors": len([l for l in case.get("errors", "").split("\n") if l]),
             "error_codes": (
                 [l for l in codes.split("\n") if l] if codes is not None else None
             ),
+            "quirks": int(quirks) if quirks not in (None, "") else None,
             "fragment": frag.strip() if frag else None,
             "expected": case.get("document", ""),
             "script": (

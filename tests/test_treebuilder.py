@@ -45,6 +45,11 @@ def test_tree_case(case, pi):
                 f"error count {len(out.errors)} != {case['n_errors']} "
                 f"for {case['data']!r}: {out.errors}"
             )
+        if case.get("quirks") is not None:
+            # engine extension: pin the detected quirks mode (C10)
+            assert out.quirks_mode == case["quirks"], (
+                f"quirks {out.quirks_mode} != {case['quirks']} for {case['data']!r}"
+            )
         if case["error_codes"] is not None:
             # engine-authored cases may pin exact error CODES in order
             got_codes = [e[0] for e in out.errors]

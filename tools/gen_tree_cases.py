@@ -37,6 +37,8 @@ def emit(data, fragment=None, script=None):
     if not fragment:
         out.append("#engine-errors")
         out.extend(errors)
+        out.append("#engine-quirks")
+        out.append(str(res.quirks_mode))
     if fragment:
         out.append("#document-fragment")
         out.append(fragment)
