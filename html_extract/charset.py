@@ -55,7 +55,8 @@ _CANON_CODEC = {
     "EUC-JP": "euc-jp",
     "ISO-2022-JP": "iso-2022-jp",
     "Shift_JIS": "shift_jis",
-    "EUC-KR": "euc-kr",
+    # WHATWG euc-kr is the UHC/cp949 superset, not strict euc_kr
+    "EUC-KR": "cp949",
     "UTF-16BE": "utf-16-be",
     "UTF-16LE": "utf-16-le",
     "x-user-defined": "cp1252",  # decoded per meta remap below

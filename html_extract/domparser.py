@@ -40,6 +40,10 @@ def parse_from_string(data, content_type: str, config: Config | None = None) -> 
         raise ValueError(f"invalid MIME type: {content_type!r}")
     essence = m.group(1).lower()
     if essence in HTML_TYPES:
+        if config is None:
+            # the DOMParser interface defaults to UTF-8, not the HTML
+            # parser's windows-1252 fallback (DOMParser.php:97-99)
+            config = Config(encoding_fallback="UTF-8")
         return parse(data, content_type=content_type, config=config)
     if essence in XML_TYPES or essence.endswith("+xml"):
         charset = _charset_param(content_type)

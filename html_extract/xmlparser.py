@@ -47,8 +47,12 @@ def _decode(data, transport_charset=None):
         enc = cs.lookup_label(transport_charset)
     if enc is None:
         enc = cs.xml_declaration(raw)
-    codec = cs.codec_for(enc) if enc else "utf-8"
-    return raw.decode(codec or "utf-8", errors="replace")
+    if enc is None:
+        enc = "UTF-8"
+    # cs.decode handles x-user-defined and the replacement encoding
+    # (single U+FFFD -> "no element found" -> parsererror document,
+    # matching the reference's behavior for e.g. csiso2022kr)
+    return cs.decode(raw, enc)
 
 
 def parse_xml(data, transport_charset=None) -> Document:

@@ -202,3 +202,96 @@ def test_pre_eof_single_error():
     out2 = parse("<textarea>", config=Config(error_collection=True))
     codes2 = [e[0] for e in out2.errors]
     assert codes2.count("eof-in-text-mode") == 1
+
+
+def _text_content(node):
+    from html_extract.dom import Text
+
+    out = []
+
+    def walk(n):
+        for c in getattr(n, "children", []):
+            if isinstance(c, Text):
+                out.append(c.data)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(out)
+
+
+def _mk16(s: bytes, le: bool) -> bytes:
+    out = bytearray()
+    for b in s:
+        if 1 <= b <= 0x7F:
+            out += bytes([b, 0]) if le else bytes([0, b])
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def test_domparser_matrix_reference_parity():
+    """Port of the reference's TestDOMParser provideDocuments matrix
+    (TestDOMParser.php:29-59): encoding precedence across BOM, charset
+    parameter, and XML declaration, for HTML and XML types."""
+    cases = [
+        ("Test".encode(), "text/html", "Test"),
+        ("Ol\xe9".encode(), "text/html", "Ol\xe9"),  # DOMParser UTF-8 default
+        ("Ol\xe9".encode(), "text/html;charset=utf8", "Ol\xe9"),
+        ("<meta charset=utf8>Ol\xe9".encode(), "text/html", "Ol\xe9"),
+        ("<html>Test</html>".encode(), "text/xml", "Test"),
+        ("<html>Ol\xe9</html>".encode(), "text/xml", "Ol\xe9"),
+        (
+            "<html>Ol\xe9</html>".encode("latin-1"),
+            "text/xml;charset=windows-1252",
+            "Ol\xe9",
+        ),
+        (
+            "﻿<html>Ol\xe9</html>".encode(),
+            "text/xml;charset=windows-1252",
+            "Ol\xe9",
+        ),
+        (
+            "<?xml version='1.0' encoding='windows-1252'?><html>Ol\xe9</html>".encode(
+                "latin-1"
+            ),
+            "text/xml",
+            "Ol\xe9",
+        ),
+        (
+            "<?xml version='1.0'?><html>Ol\xe9</html>".encode(),
+            "text/xml;charset=bogus",
+            "Ol\xe9",
+        ),
+        (b"<html>\x81\xe9</html>", "text/xml;charset=euc-kr", "곲"),
+        (_mk16(b"\xFE\xFF<html>Ol\x00\xE9</html>", False), "text/xml", "Ol\xe9"),
+        (_mk16(b"\xFF\xFE<html>Ol\xE9\x00</html>", True), "text/xml", "Ol\xe9"),
+        (
+            _mk16(b"<?xml version='1.0' encoding='UTF-8'?><html>Ol\x00\xE9</html>", False),
+            "text/xml;charset=utf-16be",
+            "Ol\xe9",
+        ),
+        (
+            _mk16(b"<?xml version='1.0' encoding='UTF-8'?><html>Ol\xE9\x00</html>", True),
+            "text/xml;charset=utf-16le",
+            "Ol\xe9",
+        ),
+    ]
+    for raw, typ, want in cases:
+        out = parse_from_string(raw, typ)
+        roots = [c for c in out.document.children if hasattr(c, "name")]
+        root = roots[-1]
+        assert root.name == "html", (typ, raw)
+        assert _text_content(root) == want, (typ, raw)
+
+
+def test_domparser_xml_replacement_encoding_yields_parsererror():
+    """csiso2022kr maps to the replacement encoding -> whole input is
+    one U+FFFD -> no element -> parsererror (TestDOMParser.php:76-81)."""
+    out = parse_from_string(b"<html>Test</html>", "text/xml;charset=csiso2022kr")
+    root = out.document.children[0]
+    assert root.name == "parsererror"
+    out2 = parse_from_string(
+        b"<html>Test</html><!--Test-->Test", "text/xml"
+    )
+    assert out2.document.children[0].name == "parsererror"
