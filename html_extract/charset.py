@@ -53,7 +53,9 @@ _CANON_CODEC = {
     "gb18030": "gb18030",
     "Big5": "big5",
     "EUC-JP": "euc-jp",
-    "ISO-2022-JP": "iso-2022-jp",
+    # _ext: the WHATWG ISO-2022-JP decoder includes JIS X 0201 katakana
+    # (ESC ( I), which Python's base iso2022_jp codec rejects
+    "ISO-2022-JP": "iso2022_jp_ext",
     "Shift_JIS": "shift_jis",
     # WHATWG euc-kr is the UHC/cp949 superset, not strict euc_kr
     "EUC-KR": "cp949",

@@ -114,6 +114,11 @@ def _parse_once(text, config, encoding_name, certain, raw_had_meta_hook):
     if raw_had_meta_hook and not certain:
 
         def on_meta(attrs):
+            # changeEncoding step 1 (Data.php:305-310): a stream already
+            # being read as UTF-16 keeps its encoding (confidence
+            # becomes certain); the meta is ignored entirely
+            if encoding_name in ("UTF-16BE", "UTF-16LE"):
+                return
             label = attrs.get("charset")
             if label is None and attrs.get("http-equiv", "").lower() == "content-type":
                 content = attrs.get("content")

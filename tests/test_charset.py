@@ -101,3 +101,72 @@ def test_every_registry_codec_decodes():
 def test_x_user_defined_decoding():
     # WHATWG x-user-defined maps high bytes into U+F780..U+F7FF
     assert cs.decode(b"a\x80\xff", "x-user-defined") == "a\uf780\uf7ff"
+
+
+def test_encoding_change_matrix_reference_parity():
+    """Port of the reference's TestEncodingChange provideEncodingChanges
+    (meta appears past the prescan window -> mid-parse changeEncoding):
+    UTF-16 label downgrade, x-user-defined remap, UTF-16 streams keep
+    their encoding, ISO-2022-JP katakana, bogus labels ignored."""
+    from html_extract.dom import Element, Text
+    from html_extract.parser import Config, parse
+
+    def title_text(doc):
+        def walk(n):
+            for c in getattr(n, "children", []):
+                if isinstance(c, Element) and c.name == "title":
+                    return "".join(
+                        t.data for t in c.children if isinstance(t, Text)
+                    )
+                r = walk(c)
+                if r is not None:
+                    return r
+
+        return walk(doc)
+
+    cases = [
+        ("windows-1252", "", "windows-1252", b"ASCII title", "ASCII title"),
+        ("windows-1252", "UTF-8", "UTF-8", b"ASCII title", "ASCII title"),
+        ("windows-1252", "UTF-16BE", "UTF-8", b"ASCII title", "ASCII title"),
+        ("windows-1252", "UTF-16LE", "UTF-8", b"ASCII title", "ASCII title"),
+        ("UTF-8", "x-user-defined", "windows-1252", b"ASCII title", "ASCII title"),
+        ("windows-1252", "UTF-8", "UTF-8", b"H\xc3\xa9", "H\xe9"),
+        ("UTF-8", "UTF-8", "UTF-8", b"H\xc3\xa9", "H\xe9"),
+        ("UTF-16LE", "UTF-8", "UTF-16LE", b"ASCII title", "ASCII title"),
+        ("UTF-16BE", "UTF-8", "UTF-16BE", b"ASCII title", "ASCII title"),
+        ("windows-1252", "bogus", "windows-1252", b"H\xe9", "H\xe9"),
+        (
+            "ISO-2022-JP",
+            "ISO-2022-JP",
+            "ISO-2022-JP",
+            b"\x1b\x28\x49\x56\x1b\x28\x42",
+            "ﾖ",
+        ),
+        ("UTF-8", "ISO-2022-JP", "ISO-2022-JP", b"ASCII title", "ASCII title"),
+    ]
+    for meta_attr in ("charset={}", "http-equiv=CoNtenT-TYpe content='text/html;charset={}'"):
+        for assumed, stated, want_enc, title_b, want_title in cases:
+            if not stated:
+                meta = b""
+            else:
+                meta = ("<meta " + meta_attr.format(stated) + ">").encode()
+            body = (
+                b"<!DOCTYPE html><html><head>"
+                + b" " * 1024
+                + b"<title>"
+                + title_b
+                + b"</title>"
+                + meta
+                + b"</head><body></body></html>"
+            )
+            if assumed == "UTF-16BE":
+                body = b"".join(b"\x00" + bytes([c]) for c in body)
+            elif assumed == "UTF-16LE":
+                body = b"".join(bytes([c]) + b"\x00" for c in body)
+            out = parse(body, config=Config(encoding_fallback=assumed))
+            assert out.encoding == want_enc, (assumed, stated, meta_attr)
+            assert title_text(out.document) == want_title, (
+                assumed,
+                stated,
+                meta_attr,
+            )
