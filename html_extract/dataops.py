@@ -758,15 +758,19 @@ def minhash_candidates(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
         bands, ["band", "band_hash"], bucket_pairs, num_partitions
     )
 
-    def comb(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["a", "b"], as_index=False).agg(
-            n_bands=("n_bands", "sum")
-        )
-
-    pairs = _partition_apply(pair_partials, ["a", "b"], comb, num_partitions)
-    out = pairs.to_pandas()
+    # Final per-pair band-count combine.  This function returns a
+    # DataFrame (pairs are O(dup pairs) and driver-bound by contract),
+    # so the combine runs in pandas over the COLLECTED partials —
+    # paying a second cluster-wide sort shuffle just to merge rows the
+    # driver is about to hold anyway is pure overhead.  A sink-bound
+    # variant at 10^12 scale would keep the pairs distributed and use
+    # _partition_apply(pair_partials, ["a","b"], comb) instead.
+    out = pair_partials.to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"a": [], "b": [], "n_bands": []})
+    out = out.groupby(["a", "b"], as_index=False).agg(
+        n_bands=("n_bands", "sum")
+    )
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
