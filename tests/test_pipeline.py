@@ -204,3 +204,37 @@ def test_resume_recomputes_on_corrupt_manifest(tmp_path):
     # shard 0 untouched (same completion stamp), shard 1 recomputed
     assert m2[0]["completed_at"] == m1[0]["completed_at"]
     assert m2[1]["completed_at"] != m1[1]["completed_at"]
+
+
+def test_multifile_corpus_file_level_sharding(tmp_path):
+    """documents/ directory of part files (the 100 TB layout): shards
+    read ONLY their own file subset and the union covers every doc."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import pipeline as P
+
+    src = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).head(120)
+    ddir = tmp_path / "documents"
+    ddir.mkdir()
+    for i in range(6):
+        part = src.iloc[i * 20 : (i + 1) * 20]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       ddir / f"part-{i}.parquet")
+
+    out = str(tmp_path / "out")
+    manifests = P.run_pipeline(str(tmp_path), out, num_shards=3)
+    assert len(manifests) == 3
+    total = sum(m["row_count"] for m in manifests)
+    assert total == 120
+    import glob
+
+    import ray.data as rd
+
+    got = sum(
+        rd.read_parquet(d).count() for d in sorted(glob.glob(out + "/shard=*"))
+    )
+    assert got == 120
