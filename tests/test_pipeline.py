@@ -206,9 +206,9 @@ def test_resume_recomputes_on_corrupt_manifest(tmp_path):
     assert m2[1]["completed_at"] != m1[1]["completed_at"]
 
 
-def test_multifile_corpus_file_level_sharding(tmp_path):
-    """documents/ directory of part files (the 100 TB layout): shards
-    read ONLY their own file subset and the union covers every doc."""
+def test_multifile_run_pipeline_end_to_end(tmp_path):
+    """documents/ directory of part files through the FULL run_pipeline
+    (shard manifests + output parquet), not just load_documents."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -238,3 +238,32 @@ def test_multifile_corpus_file_level_sharding(tmp_path):
         rd.read_parquet(d).count() for d in sorted(glob.glob(out + "/shard=*"))
     )
     assert got == 120
+
+
+def test_pathological_document_skew_isolation(tmp_path):
+    """One enormous/deep document among many small ones: the size-cut
+    adapter must isolate it into its own block(s) and the pipeline must
+    produce correct spans for every doc (north-rule skew handling)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import pipeline as P
+
+    small = ["plain words " * 30] * 50
+    # a deep + wide monster (~1.5 MB of text after page synthesis)
+    monster = ("nested content with words " * 20 + "\n\n") * 800
+    texts = small[:25] + [monster] + small[25:]
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    ds = P.extracted_dataset(str(tmp_path), batch_size=16)
+    out = ds.to_pandas()
+    assert len(out) == 51
+    assert out["ok"].all()
+    # the monster doc produced spans too (not dropped/poisoned)
+    monster_row = out[out["doc_id"] == "doc-000000000025"]
+    assert len(monster_row) == 1
+    assert len(monster_row.iloc[0]["spans"]) >= 5
