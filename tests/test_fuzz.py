@@ -99,3 +99,20 @@ def test_extract_actor_arrow_roundtrip(doc_specs):
     for row in out["spans"].to_pylist():
         orders = [s["order"] for s in row]
         assert orders == list(range(len(orders)))
+
+
+def test_div_spam_document_is_linear_time():
+    """Thousands of unclosed divs with interleaved <p>: the per-name
+    open-count fast path must keep scope checks O(1) (a spec-literal
+    walk is quadratic here — measured 100x slowdowns on 3 MB pages)."""
+    import time
+
+    from html_extract.extract import process_document
+
+    monster = "<div><p>words in a paragraph</p><img src='x.png'>" * 20000
+    t0 = time.perf_counter()
+    spans, meta = process_document("d", [("html", monster, "")])
+    dt = time.perf_counter() - t0
+    assert meta["n_nodes"] > 60000
+    assert len(spans) > 1000
+    assert dt < 20  # quadratic behavior would take minutes
