@@ -70,6 +70,7 @@ class Element(Node):
         "attr_ns",
         "template_content",
         "skey",
+        "on_stack",
     )
 
     def __init__(self, name, namespace=HTML_NS, attrs=None):
@@ -77,6 +78,10 @@ class Element(Node):
         self.name = name
         self.namespace = namespace
         self.skey = (namespace, name)  # precomputed scope-lookup key
+        # True while on the open-elements stack (maintained by
+        # treebuilder.ElementStack) — O(1) membership instead of an
+        # O(depth) list scan per AFE reconstruct/adoption check
+        self.on_stack = False
         # attrs: qualified display name -> value (insertion-ordered)
         self.attrs = attrs if attrs is not None else {}
         # attr_ns: qualified name -> (ns_uri, prefix, localname) for

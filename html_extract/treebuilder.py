@@ -124,11 +124,13 @@ class ElementStack(list):
             self._inc(el)
 
     def _inc(self, el):
+        el.on_stack = True
         k = (el.namespace, el.name)
         c = self.counts
         c[k] = c.get(k, 0) + 1
 
     def _dec(self, el):
+        el.on_stack = False
         k = (el.namespace, el.name)
         c = self.counts
         n = c.get(k, 0) - 1
@@ -351,13 +353,13 @@ class TreeBuilder:
         if not afe:
             return
         last = afe[-1]
-        if last is MARKER or last.element in self.stack:
+        if last is MARKER or last.element.on_stack:
             return
         i = len(afe) - 1
         while i > 0:
             i -= 1
             entry = afe[i]
-            if entry is MARKER or entry.element in self.stack:
+            if entry is MARKER or entry.element.on_stack:
                 i += 1
                 break
         while i < len(afe):
@@ -714,7 +716,7 @@ class TreeBuilder:
             if fmt_entry is None:
                 return True
             fmt = fmt_entry.element
-            if fmt not in stack:
+            if not fmt.on_stack:
                 self._err("adoption-agency-1.3")
                 self.afe.remove(fmt_entry)
                 return False
@@ -1118,7 +1120,7 @@ class TreeBuilder:
                 self._err("unexpected-start-tag")
                 self.stack.append(self.head)
                 result = self._m_in_head(tok)
-                if self.head in self.stack:
+                if self.head is not None and self.head.on_stack:
                     self.stack.remove(self.head)
                 return result
             if name == "head":
@@ -1337,7 +1339,7 @@ class TreeBuilder:
                     self._adoption_agency("a")
                     if entry in self.afe:
                         self.afe.remove(entry)
-                    if entry.element in self.stack:
+                    if entry.element.on_stack:
                         self.stack.remove(entry.element)
                     break
             self._reconstruct_afe()

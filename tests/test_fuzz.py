@@ -116,3 +116,18 @@ def test_div_spam_document_is_linear_time():
     assert meta["n_nodes"] > 60000
     assert len(spans) > 1000
     assert dt < 20  # quadratic behavior would take minutes
+
+
+def test_unclosed_formatting_spam_is_linear_time():
+    """Thousands of unclosed <b class=..>: Noah's-Ark caps the AFE, and
+    stack membership checks must be O(1) (el.on_stack), not list scans."""
+    import time
+
+    from html_extract.extract import process_document
+
+    doc = "<b class='c'>" * 30000 + "x"
+    t0 = time.perf_counter()
+    spans, meta = process_document("d", [("html", doc, "")])
+    dt = time.perf_counter() - t0
+    assert meta["n_nodes"] > 30000
+    assert dt < 15
