@@ -1,6 +1,7 @@
 """Property tests: the parser must never crash, must be deterministic,
 and extraction output must be well-formed for arbitrary input."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from html_extract.extract import extract_spans, process_document
@@ -131,3 +132,31 @@ def test_unclosed_formatting_spam_is_linear_time():
     dt = time.perf_counter() - t0
     assert meta["n_nodes"] > 30000
     assert dt < 15
+
+
+@pytest.mark.parametrize(
+    "name,doc",
+    [
+        ("comment-spam", "<!--x-->" * 60000),
+        ("charref-spam", "&amp;" * 120000),
+        ("bogus-tag-spam", "<123>" * 100000),
+        ("attr-spam", "<div " + " ".join(f"a{i}=1" for i in range(40000)) + ">"),
+        ("a-spam", "<a href='x'>t" * 15000),
+        ("foster-text-spam", "<b><table>" + "x<z>" * 15000),
+        ("p-spam", "<p>t" * 25000),
+        ("span-deep", "<span>" * 25000 + "x"),
+        ("td-spam", "<table><tr>" + "<td>c" * 15000),
+        ("header-spam", "<h1>x<h2>y" * 10000),
+    ],
+)
+def test_pathological_shapes_linear(name, doc):
+    """MB-scale adversarial shapes must stay linear-time (each was
+    probed at multiple sizes during development; the bound here is ~20x
+    the measured cost, so only a complexity regression trips it)."""
+    import time
+
+    from html_extract.extract import process_document
+
+    t0 = time.perf_counter()
+    spans, meta = process_document("d", [("html", doc, "")])
+    assert time.perf_counter() - t0 < 15
