@@ -275,6 +275,13 @@ def interleaved_dataset(
     sf_dir, shard=None, num_shards=None, replicate: int = 1, mode: str = "rich"
 ) -> rd.Dataset:
     ds = load_documents(sf_dir, shard, num_shards)
+    # NOTE: deliberately an INSTANCE (task stage that FUSES with the
+    # downstream extract actor pool).  A class+kwargs actor pool here
+    # silences Ray's "constructor arguments in the object store"
+    # restart warning but adds a second pool that deadlocks narrow
+    # sessions (two pools + read tasks on 4 CPUs) and an extra
+    # object-store hop; the warning itself is benign while the driver
+    # owns the argument reference (ray-project/ray#53727).
     return ds.map_batches(
         InterleaveAdapter(replicate=replicate, mode=mode),
         batch_format="pyarrow",
