@@ -392,14 +392,15 @@ def detect(data: bytes, transport_charset=None, default="windows-1252"):
     return default, False, 0
 
 
+_XUD_TABLE = {b: 0xF780 + b - 0x80 for b in range(0x80, 0x100)}
+
+
 def decode(data: bytes, canonical: str) -> str:
     if canonical == "x-user-defined":
-        # WHATWG x-user-defined: 0x80-0xFF -> U+F780..U+F7FF (private use)
-        return data.decode("ascii", errors="ignore") if data.isascii() else (
-            "".join(
-                chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in data
-            )
-        )
+        # WHATWG x-user-defined: 0x80-0xFF -> U+F780..U+F7FF (private
+        # use); latin-1 maps bytes 1:1 so a C-level translate does the
+        # remap (a per-byte Python loop costs ~1 s on a 10 MB page)
+        return data.decode("latin-1").translate(_XUD_TABLE)
     codec = codec_for(canonical)
     if codec is None:  # the replacement encoding
         return "�"
