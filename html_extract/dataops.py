@@ -408,14 +408,18 @@ def stopword_counts(sf_dir) -> rd.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: whitespace-split -> explode -> isin -> sum per row
+        # (identical token semantics to str.split(); no per-row loop)
+        toks = df["text"].str.split().explode()
+        n = (
+            toks.isin(stops)
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+        )
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_stop": [
-                    sum(1 for w in t.split() if w in stops) for t in df["text"]
-                ],
-            }
-        ).astype({"n_stop": "int64"})
+            {"doc_id": df["doc_id"], "n_stop": n.astype("int64")}
+        )
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -446,8 +450,10 @@ def top_users_by_events(sf_dir, k: int = 10) -> pd.DataFrame:
     return agg.head(k).astype({"n": "int64"})
 
 
-def sampled_docs(sf_dir, fraction=0.1, seed=7) -> pd.DataFrame:
-    """Seeded random sample of documents (corpus-curation subsampling).
+def sampled_docs(sf_dir, fraction=0.1, seed=7) -> rd.Dataset:
+    """Seeded random sample of documents (corpus-curation subsampling),
+    returned as a Dataset (a 10% sample of 10^12 doc ids is still huge —
+    it must stream to the next stage / sink, never to the driver).
 
     `ds.random_sample` is per-row Bernoulli with a seeded generator, so
     the row COUNT varies with block layout; for a deterministic result
@@ -464,8 +470,7 @@ def sampled_docs(sf_dir, fraction=0.1, seed=7) -> pd.DataFrame:
         ]
         return df[pd.Series(keep, index=df.index)]
 
-    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id", ignore_index=True)
+    return ds.map_batches(pick, batch_format="pandas")
 
 
 def lineitem_pricing_summary(sf_dir) -> rd.Dataset:
@@ -568,30 +573,48 @@ def doc_fingerprints(sf_dir) -> rd.Dataset:
 def exact_dedup(sf_dir, num_partitions=None) -> rd.Dataset:
     """Exact dedup: hash-partition on content hash, keep min doc_id.
 
-    Scale shape: the shuffle key is the 16-byte digest, never the text;
-    per-batch partial shrink first, then the combine runs once per
-    key-hash PARTITION (not one global task), so no worker ever holds
+    Scale shape: the shuffle key is the RAW 16-byte md5 digest (binary,
+    half the bytes of the hex form), never the text; per-batch partial
+    shrink first; the partition id is an int32 sliced straight out of
+    the digest's first 8 bytes (no second hashing pass, and the sort
+    shuffle orders by a small int column instead of strings); the
+    combine runs once per key-hash PARTITION, so no worker ever holds
     the full distinct-hash set."""
+    P = _num_partitions(num_partitions)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame(
+    def partial(t: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(s.encode("utf-8")).digest()
+            for s in t["text"].to_pylist()
+        ]
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(), "h": digests})
+        g = df.groupby("h", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min")
+        )
+        raw = np.frombuffer(b"".join(g["h"]), dtype="<u8")[::2]
+        part = (raw % np.uint64(P)).astype(np.int32)
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "h": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest()
-                    for t in df["text"]
-                ],
+                "_part": pa.array(part, pa.int32()),
+                "h": pa.array(list(g["h"]), pa.binary(16)),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
             }
         )
-        return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min")
+        )
+        return out[["doc_id"]]
 
-    return _keyed_agg(ds, partial, combine, ["h"], num_partitions).select_columns(
-        ["doc_id"]
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    deduped = partials.groupby("_part").map_groups(
+        combine, batch_format="pandas"
     )
+    # pin the schema: the sort-groupby emits zero-column empties for
+    # empty key ranges, which otherwise poison downstream unification
+    return _coerce(deduped, pa.schema([("doc_id", pa.int64())]))
 
 
 _MINHASH_PERMS = 128
@@ -701,15 +724,17 @@ class MinHashActor:
         )
 
 
-def minhash_candidates(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
+def minhash_candidates(sf_dir, cap=64, num_partitions=None) -> rd.Dataset:
     """MinHash-LSH candidate pairs: shingle -> 128-perm signature ->
     32 bands -> bucket by (band, band_hash) -> pairs within a bucket.
+    Returns a Dataset[(a, b, n_bands)] — nothing ever lands on the
+    driver (use :func:`minhash_candidates_df` for a driver DataFrame).
 
     Partition-native: band rows are hash-partitioned on the bucket key,
     each partition self-joins its own duplicated buckets (vectorized
     pandas merge), and per-pair band counts are summed by a second
-    keyed combine on (a, b).  Nothing doc-count-sized ever lands on
-    the driver or in a single task.  Hot buckets (> ``cap`` members —
+    keyed combine on (a, b) — also distributed, so the pair set stays
+    sharded all the way to the sink.  Hot buckets (> ``cap`` members —
     typically exact-dup clusters) emit a star to the bucket-min doc
     instead of all O(m^2) pairs, preserving cluster connectivity while
     bounding output to O(m)."""
@@ -758,19 +783,32 @@ def minhash_candidates(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
         bands, ["band", "band_hash"], bucket_pairs, num_partitions
     )
 
-    # Final per-pair band-count combine.  This function returns a
-    # DataFrame (pairs are O(dup pairs) and driver-bound by contract),
-    # so the combine runs in pandas over the COLLECTED partials —
-    # paying a second cluster-wide sort shuffle just to merge rows the
-    # driver is about to hold anyway is pure overhead.  A sink-bound
-    # variant at 10^12 scale would keep the pairs distributed and use
-    # _partition_apply(pair_partials, ["a","b"], comb) instead.
-    out = pair_partials.to_pandas()
+    # Final per-pair band-count combine, distributed: a pair's partial
+    # counts co-locate in one (a, b)-hash partition, so no single task
+    # (and never the driver) holds the full pair set.
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False).agg(
+            n_bands=("n_bands", "sum")
+        )
+
+    return _partition_apply(pair_partials, ["a", "b"], comb, num_partitions)
+
+
+_PAIRS_EMPTY = pd.DataFrame(
+    {
+        "a": pd.Series(dtype="int64"),
+        "b": pd.Series(dtype="int64"),
+        "n_bands": pd.Series(dtype="int64"),
+    }
+)
+
+
+def minhash_candidates_df(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
+    """Driver-side convenience: collected + deterministically sorted
+    candidate pairs (bounded by O(dup pairs) per the LSH contract)."""
+    out = minhash_candidates(sf_dir, cap, num_partitions).to_pandas()
     if len(out) == 0:
-        return pd.DataFrame({"a": [], "b": [], "n_bands": []})
-    out = out.groupby(["a", "b"], as_index=False).agg(
-        n_bands=("n_bands", "sum")
-    )
+        return _PAIRS_EMPTY.copy()
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
@@ -910,19 +948,23 @@ def minhash_dedup(
     jaccard_threshold_pct=80,
     num_partitions=None,
     cc_driver_max_pairs=100_000,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Near-dup clusters: LSH candidates -> exact shingle-Jaccard verify
-    -> connected components -> (doc_id, cluster_id).
+    -> connected components -> Dataset[(doc_id, cluster_id)].
 
     Scale shape: candidate pairs are joined BACK to per-doc shingle-hash
     sets by doc_id (two hash joins) and verified in distributed tasks —
-    no whole-corpus structure is ever built on the driver.  Components
-    run driver-side union-find only while the verified-pair count is
-    small (<= cc_driver_max_pairs); above that they switch to
-    distributed min-label propagation (`_cc_distributed`).  Final
-    cluster assignment is a left join of doc ids against the labels."""
+    no whole-corpus structure is ever built on the driver, and the final
+    assignment stays a Dataset (write it to a sink, or use
+    :func:`minhash_dedup_df` as a small-scale driver convenience); the
+    only driver-held state is O(verified pairs), and only on the
+    union-find path.  Components run driver-side union-find while the
+    verified-pair count is small (<= cc_driver_max_pairs); above that
+    they switch to distributed min-label propagation
+    (`_cc_distributed`).  Final cluster assignment is a left join of
+    doc ids against the labels."""
     P = _num_partitions(num_partitions)
-    cand = minhash_candidates(sf_dir, num_partitions=num_partitions)
+    cand = minhash_candidates(sf_dir, num_partitions=num_partitions).materialize()
     ids = _read(sf_dir, "documents", ["doc_id"])
 
     def own_cluster(df: pd.DataFrame) -> pd.DataFrame:
@@ -930,14 +972,11 @@ def minhash_dedup(
             {"doc_id": df["doc_id"], "cluster_id": df["doc_id"]}
         )
 
-    if len(cand) == 0:
-        out = ids.map_batches(own_cluster, batch_format="pandas").to_pandas()
-        if "doc_id" not in out.columns:  # empty corpus
-            return pd.DataFrame({"doc_id": [], "cluster_id": []})
-        return out.sort_values("doc_id", ignore_index=True)
+    if cand.count() == 0:
+        return ids.map_batches(own_cluster, batch_format="pandas")
 
     sh = _shingle_table(sf_dir)
-    pairs_ds = rd.from_pandas(cand[["a", "b"]])
+    pairs_ds = cand.select_columns(["a", "b"])
     j1 = _hash_join(
         pairs_ds, _rename(sh, {"doc_id": "a", "sh": "sh_a"}), ("a",), "inner", P
     )
@@ -971,8 +1010,7 @@ def minhash_dedup(
     verified = j2.map_batches(verify, batch_format="pyarrow").materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
-        out = ids.map_batches(own_cluster, batch_format="pandas").to_pandas()
-        return out.sort_values("doc_id", ignore_index=True)
+        return ids.map_batches(own_cluster, batch_format="pandas")
 
     if n_pairs <= cc_driver_max_pairs:
         vp = verified.to_pandas()
@@ -1006,7 +1044,15 @@ def minhash_dedup(
         lab = lab.astype(df["doc_id"].dtype)
         return pd.DataFrame({"doc_id": df["doc_id"], "cluster_id": lab})
 
-    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def minhash_dedup_df(sf_dir, **kw) -> pd.DataFrame:
+    """Driver-side convenience: collected + sorted cluster assignment
+    (small corpora / tests only — O(n_docs) rows on the driver)."""
+    out = minhash_dedup(sf_dir, **kw).to_pandas()
+    if "doc_id" not in out.columns:  # empty corpus
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -1556,21 +1602,31 @@ def ann_topk_ivf(
     import pyarrow.parquet as pq
 
     # deterministic centroids: k-means-free coarse quantizer — evenly
-    # strided sample rows, normalized (stable across runs/machines)
-    head = pq.read_table(
-        _path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    )
-    n_total = head.num_rows
-    if n_total == 0:
+    # strided rows from a FIXED-SIZE head sample (streamed from the
+    # first row group(s) only; the driver never holds more than
+    # ``sample_cap`` rows regardless of table size), normalized
+    # (stable across runs/machines)
+    pf = pq.ParquetFile(_path(sf_dir, "embeddings"))
+    if pf.metadata.num_rows == 0:
         return pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("query_id", "neighbor_id", "rank")}
         )
-    stride = max(1, n_total // n_lists)
-    sample_idx = list(range(0, n_total, stride))[:n_lists]
+    sample_cap = max(4096, n_lists * 256)
+    got, chunks = 0, []
+    for rb in pf.iter_batches(
+        batch_size=min(sample_cap, 65536), columns=["embedding"]
+    ):
+        chunks.append(rb)
+        got += rb.num_rows
+        if got >= sample_cap:
+            break
+    head = pa.Table.from_batches(chunks).slice(0, sample_cap)
+    stride = max(1, head.num_rows // n_lists)
+    sample_idx = list(range(0, head.num_rows, stride))[:n_lists]
     C = _normalize_rows(
         _stack_embeddings(head.column("embedding").take(sample_idx).to_pylist())
     )
-    del head
+    del head, chunks
     c_ref = ray.put(C)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

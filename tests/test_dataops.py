@@ -46,10 +46,10 @@ def test_minhash_finds_near_duplicates(tmp_path):
         }
     )
     pq.write_table(tbl, tmp_path / "documents.parquet")
-    pairs = D.minhash_candidates(str(tmp_path))
+    pairs = D.minhash_candidates_df(str(tmp_path))
     assert len(pairs) >= 1
     assert (1, 2) in set(zip(pairs["a"], pairs["b"]))
-    clusters = D.minhash_dedup(str(tmp_path))
+    clusters = D.minhash_dedup_df(str(tmp_path))
     cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert cmap[1] == cmap[2]
     assert cmap[3] != cmap[1]
@@ -201,7 +201,7 @@ def test_minhash_dedup_matches_bruteforce_reference(tmp_path):
         texts.append(" ".join(src))
     _write_docs(tmp_path, ids, texts)
 
-    got = D.minhash_dedup(str(tmp_path), jaccard_threshold_pct=80)
+    got = D.minhash_dedup_df(str(tmp_path), jaccard_threshold_pct=80)
     cmap = dict(zip(got["doc_id"], got["cluster_id"]))
 
     # brute-force reference over the same shingle definition
@@ -251,8 +251,8 @@ def test_minhash_dedup_distributed_cc_path(tmp_path):
     texts.append(" ".join(f"zz{i}" for i in range(150)))
     _write_docs(tmp_path, ids, texts)
 
-    got_driver = D.minhash_dedup(str(tmp_path))
-    got_dist = D.minhash_dedup(str(tmp_path), cc_driver_max_pairs=0)
+    got_driver = D.minhash_dedup_df(str(tmp_path))
+    got_dist = D.minhash_dedup_df(str(tmp_path), cc_driver_max_pairs=0)
     d1 = dict(zip(got_driver["doc_id"], got_driver["cluster_id"]))
     d2 = dict(zip(got_dist["doc_id"], got_dist["cluster_id"]))
     assert d1 == d2
@@ -270,10 +270,10 @@ def test_minhash_hot_bucket_star_keeps_connectivity(tmp_path):
     ids = list(range(n))
     texts = [text] * n
     _write_docs(tmp_path, ids, texts)
-    pairs = D.minhash_candidates(str(tmp_path), cap=8)
+    pairs = D.minhash_candidates_df(str(tmp_path), cap=8)
     # star pattern: O(n) pairs, not O(n^2)
     assert len(pairs) <= 2 * n
-    got = D.minhash_dedup(str(tmp_path))
+    got = D.minhash_dedup_df(str(tmp_path))
     assert set(got["cluster_id"]) == {0}
 
 
@@ -519,8 +519,26 @@ def test_minhash_dedup_sf01_planted_dups_no_driver_load(tmp_path, monkeypatch):
         return real_read_parquet(path, *a, **k)
 
     monkeypatch.setattr(pd, "read_parquet", guarded)
-    got = D.minhash_dedup(str(tmp_path), jaccard_threshold_pct=70)
+    # VERDICT r2 bar: no O(n_docs) driver collection inside the operator
+    # — every internal to_pandas() must stay O(verified pairs).
+    import ray.data as rd
+
+    collected = []
+    real_to_pandas = rd.Dataset.to_pandas
+
+    def counting_to_pandas(self, *a, **k):
+        df = real_to_pandas(self, *a, **k)
+        collected.append(len(df))
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", counting_to_pandas)
+    got_ds = D.minhash_dedup(str(tmp_path), jaccard_threshold_pct=70)
+    assert not collected or max(collected) < len(ids) // 2, (
+        f"minhash_dedup collected {max(collected)} rows on the driver "
+        f"(n_docs={len(ids)}) — O(n_docs) materialization"
+    )
     monkeypatch.undo()
+    got = got_ds.to_pandas()
 
     assert len(got) == len(ids)
     cmap = dict(zip(got["doc_id"], got["cluster_id"]))
@@ -587,8 +605,9 @@ def test_major_ops_handle_empty_corpus(tmp_path):
     )
     td = str(tmp_path)
     assert D.exact_dedup(td).count() == 0
-    assert len(D.minhash_candidates(td)) == 0
-    assert len(D.minhash_dedup(td)) == 0
+    assert len(D.minhash_candidates_df(td)) == 0
+    assert len(D.minhash_dedup_df(td)) == 0
+    assert D.sampled_docs(td).count() == 0
     assert D.simhash_fingerprints(td).count() == 0
     assert len(D.word_frequencies(td)) == 0
     assert D.winnow_fingerprints(td).count() == 0
