@@ -179,12 +179,14 @@ def parse(data, content_type=None, config=None) -> Output:
             linecol = _LineCol(norm)
             errors = [
                 (code, *linecol(off))
-                for code, off in _input_stream_errors(norm) + tok.errors
+                for code, off in _input_stream_errors(norm)
+                + tok.errors
+                + tb.errors
             ]
-            errors += [(c, -1, -1) for c in tb.errors]
         else:
-            errors = [(code, -1, -1) for code, _ in tok.errors]
-            errors += [(c, -1, -1) for c in tb.errors]
+            errors = [
+                (code, -1, -1) for code, _ in tok.errors + tb.errors
+            ]
     else:
         errors = []
     return Output(

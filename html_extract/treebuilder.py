@@ -237,8 +237,15 @@ class TreeBuilder:
 
     # -- errors ---------------------------------------------------------
     def _err(self, code):
+        # Recorded as (code, offset): offset is the tokenizer's current
+        # cursor when the error fires — the reference's position model
+        # (ParseErrorEmitter.php error(): Data::whereIs at the data
+        # pointer, with small per-code REPORT_OFFSETS tweaks we skip).
+        # For pushed-back tokens (<pre> newline lookahead) the cursor
+        # may sit one token late; positions are diagnostics, not parity-
+        # asserted tree output.
         if self.collect_errors:
-            self.errors.append(code)
+            self.errors.append((code, self.tokenizer.p))
 
     # -- stack / scope helpers -----------------------------------------
     @property

@@ -32,7 +32,14 @@ def _unescape_deep(obj):
 
 def load_tokenizer_tests(path):
     """Yield (description, initial_state_name, last_start_tag, input,
-    expected_tokens, expected_error_codes) for one .test file."""
+    expected_tokens, expected_error_codes, expected_error_positions)
+    for one .test file.
+
+    ``expected_error_positions`` is a list of (code, line, col) built
+    from errors that carry BOTH "line" and "col" (the html5lib .test
+    error-object form, {code,line,col}); empty when the file only pins
+    codes.  Positions are 1-based; EOF-class errors point one past the
+    last character (the reference's Data::whereIs cursor model)."""
     data = json.loads(Path(path).read_text())
     for case in data.get("tests", []):
         inp = case["input"]
@@ -41,7 +48,13 @@ def load_tokenizer_tests(path):
             inp = _double_unescape(inp)
             output = _unescape_deep(output)
         states = case.get("initialStates") or ["Data state"]
-        errors = [e["code"] for e in case.get("errors", [])]
+        errs = case.get("errors", [])
+        errors = [e["code"] for e in errs]
+        positions = [
+            (e["code"], e["line"], e["col"])
+            for e in errs
+            if "line" in e and "col" in e
+        ]
         for st in states:
             yield (
                 case.get("description", ""),
@@ -50,6 +63,7 @@ def load_tokenizer_tests(path):
                 inp,
                 output,
                 errors,
+                positions,
             )
 
 

@@ -36,6 +36,25 @@ def test_error_positions_line_col():
     assert any(c == "expected-doctype-but-got-something-else" for c, _, _ in codes)
 
 
+def test_tree_error_positions_line_col():
+    """Tree-construction errors carry line:col too (cursor-at-token
+    model, ParseErrorEmitter.php / Data::whereIs) — not (-1, -1)."""
+    config = Config(error_collection=True)
+    out = parse("<pre>", config=config)
+    tree_errs = {e for e in out.errors if e[0] == "expected-closing-tag-but-got-eof"}
+    assert tree_errs == {("expected-closing-tag-but-got-eof", 1, 6)}
+    out = parse("line one\n<pre>\n<b></i>x", config=config)
+    got = {e[0]: e[1:] for e in out.errors}
+    # the stray </i> end tag is on line 3; EOF error points one past input
+    assert got["unexpected-end-tag"] == (3, 8)
+    assert got["expected-closing-tag-but-got-eof"] == (3, 9)
+    # positions off -> (-1, -1) but codes still present
+    out2 = parse(
+        "<pre>", config=Config(error_collection=True, error_positions=False)
+    )
+    assert ("expected-closing-tag-but-got-eof", -1, -1) in out2.errors
+
+
 def test_input_stream_control_char_error():
     config = Config(error_collection=True)
     out = parse("<!DOCTYPE html>ab\x01cd", config=config)

@@ -22,7 +22,15 @@ def _collect():
 
 @pytest.mark.parametrize("case", _collect())
 def test_tokenizer_case(case):
-    desc, state_name, last_start_tag, inp, expected, expected_errors = case
+    (
+        desc,
+        state_name,
+        last_start_tag,
+        inp,
+        expected,
+        expected_errors,
+        expected_positions,
+    ) = case
     tok = Tokenizer(
         inp,
         state=STATE_NAMES[state_name],
@@ -34,3 +42,12 @@ def test_tokenizer_case(case):
     assert got_codes == sorted(expected_errors), (
         f"{desc}: errors {got_codes!r} != {sorted(expected_errors)!r}"
     )
+    if expected_positions:
+        from html_extract.parser import _LineCol
+
+        linecol = _LineCol(inp)
+        got_pos = sorted((c, *linecol(off)) for c, off in tok.errors)
+        assert got_pos == sorted(expected_positions), (
+            f"{desc}: error positions {got_pos!r} != "
+            f"{sorted(expected_positions)!r}"
+        )
