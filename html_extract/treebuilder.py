@@ -2098,6 +2098,12 @@ class TreeBuilder:
             "tr",
         ):
             if not self._in_scope(("td", "th"), TABLE_SCOPE):
+                # spec's "fragment case" guard — unreachable in practice:
+                # IN_CELL is only entered with a td/th on the stack, and
+                # the reset algorithm maps fragment contexts td/th to
+                # in-body (reference APPROPRIATE_INSERTION_MODES,
+                # TreeConstructor.php:248-258, has no td/th entry), so
+                # no input can be in-cell without a cell in scope
                 self._err("unexpected-start-tag")
                 return None
             self._close_cell()

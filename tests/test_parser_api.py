@@ -55,6 +55,24 @@ def test_tree_error_positions_line_col():
     assert ("expected-closing-tag-but-got-eof", -1, -1) in out2.errors
 
 
+def test_null_only_character_token_in_body_via_cdata():
+    """A Character token that is ALL U+0000 reaches in-body through an
+    HTML integration point (CDATA passes nulls through verbatim) and is
+    dropped with unexpected-null-character.  Kept as a unit test rather
+    than a .dat corpus case so the corpus stays NUL-free text."""
+    config = Config(error_collection=True)
+    out = parse(
+        "<!doctype html><svg><foreignObject><![CDATA[\x00]]>"
+        "</foreignObject></svg>",
+        config=config,
+    )
+    assert [e[0] for e in out.errors] == ["unexpected-null-character"]
+    svg = out.document.children[1].children[1].children[0]
+    fo = svg.children[0]
+    assert (svg.name, fo.name) == ("svg", "foreignObject")
+    assert fo.children == []  # the null text never lands in the DOM
+
+
 def test_input_stream_control_char_error():
     config = Config(error_collection=True)
     out = parse("<!DOCTYPE html>ab\x01cd", config=config)
