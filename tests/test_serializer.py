@@ -256,3 +256,112 @@ def test_serializer_options_matrix():
     assert (
         serialize_inner(tpl, foreign_void_end_tags=False) == "<svg><path/></svg>"
     )
+
+
+def test_pretty_print_reference_matrix():
+    """reformatWhitespace cases ported from the reference's
+    TestSerializer.php provideCustomSerializations (:204-460) — same
+    inputs, same expected strings (indentStep/indentWithSpaces/
+    foreignVoidEndTags per row; booleanAttributeValues=False)."""
+    from html_extract.parser import parse, parse_fragment
+    from html_extract.serializer import serialize
+
+    def doc(src, **kw):
+        return serialize(
+            parse(src).document,
+            reformat_whitespace=True,
+            foreign_void_end_tags=False,
+            **kw,
+        )
+
+    # empty document
+    assert doc("<html></html>") == (
+        "<html>\n <head></head>\n\n <body></body>\n</html>"
+    )
+    # comment before doctype
+    assert doc("<!--data-->\n<!DOCTYPE html>\n<html></html>") == (
+        "<!--data-->\n<!DOCTYPE html>\n<html>\n <head></head>\n\n"
+        " <body></body>\n</html>"
+    )
+    # preformatted element: content verbatim, element still positioned
+    assert doc("<pre><code></code></pre>") == (
+        "<html>\n <head></head>\n\n <body>\n  <pre><code></code></pre>\n"
+        " </body>\n</html>"
+    )
+    # element grouping + foreign block content + self-closed foreign voids
+    assert doc('<div></div><svg><g id="ook"></g></svg>') == (
+        "<html>\n <head></head>\n\n <body>\n  <div></div>\n\n  <svg>\n"
+        '   <g id="ook"/>\n  </svg>\n </body>\n</html>'
+    )
+    # inline comments (and PI-as-comment) in a non-block body
+    assert doc(
+        "<html>\n <head></head>\n <body>\n  <!--ook-->\n  <?ook eeeeek ?>\n"
+        " </body>\n</html>"
+    ) == (
+        "<html>\n <head></head>\n\n <body><!--ook--><!--?ook eeeeek ?-->"
+        "</body>\n</html>"
+    )
+    # whitespace collapsing + custom indention (4 spaces)
+    messy = (
+        "<!DOCTYPE html>\n<html>\n\n\n\n<head>\n\n</head>\n"
+        "          <body>\n    ook     eek\n"
+        "                                        <pre>\n"
+        "    This should be ignored\n\n                also this\n"
+        "         </pre>\n                                    <div></div>\n"
+        " <p>   Ook\n<span> Eek!</span>     </p>\n</body>\n   </html>"
+    )
+    assert doc(messy, indent_step=4) == (
+        "<!DOCTYPE html>\n<html>\n    <head></head>\n\n    <body>ook eek\n"
+        "        <pre>    This should be ignored\n\n                also this\n"
+        "         </pre>\n\n        <div></div>\n\n"
+        "        <p>Ook <span>Eek!</span></p>\n    </body>\n</html>"
+    )
+    # same, tab indention
+    assert doc(messy, indent_step=1, indent_with_spaces=False) == (
+        "<!DOCTYPE html>\n<html>\n\t<head></head>\n\n\t<body>ook eek\n"
+        "\t\t<pre>    This should be ignored\n\n                also this\n"
+        "         </pre>\n\n\t\t<div></div>\n\n"
+        "\t\t<p>Ook <span>Eek!</span></p>\n\t</body>\n</html>"
+    )
+    # fragment: html inline elements — whitespace trimmed away
+    frag = parse_fragment("div", "<span> <span> Ook!</span></span>")
+    assert serialize(
+        frag, reformat_whitespace=True, foreign_void_end_tags=False
+    ) == "<span><span>Ook!</span></span>"
+    # fragment: foreign elements as block
+    frag = parse_fragment("div", '<svg> <g><path d=""/></g></svg>')
+    assert serialize(
+        frag, reformat_whitespace=True, foreign_void_end_tags=False
+    ) == '<svg>\n <g>\n  <path d=""/>\n </g>\n</svg>'
+
+
+def test_pretty_print_block_comments_grouping():
+    """Comments/PIs between block siblings get their own indented,
+    group-separated lines (TestSerializer.php 'Block serialized
+    comments' row, with PI parsing on)."""
+    from html_extract.parser import Config, parse
+    from html_extract.serializer import serialize
+
+    doc = parse(
+        "<html>\n <head></head>\n <body>\n  <div></div>\n  <!--ook-->\n"
+        "  <?ook eeeeek ?>\n  <div></div>\n </body>\n</html>",
+        config=Config(processing_instructions=True),
+    ).document
+    assert serialize(
+        doc, reformat_whitespace=True, foreign_void_end_tags=False
+    ) == (
+        "<html>\n <head></head>\n\n <body>\n  <div></div>\n\n  <!--ook-->\n\n"
+        "  <?ook eeeeek ?>\n\n  <div></div>\n </body>\n</html>"
+    )
+
+
+def test_pretty_print_default_path_unchanged():
+    """reformat_whitespace defaults off: byte-identical plain output."""
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    src = "<p> a  <b> b </b></p>"
+    doc = parse(src).document
+    assert serialize(doc) == (
+        "<html><head></head><body><p> a  <b> b </b></p></body></html>"
+    )
