@@ -614,3 +614,36 @@ def test_major_ops_handle_empty_corpus(tmp_path):
     assert len(D.embedding_near_dups(td)) == 0
     assert len(D.ann_topk_lsh(td)) == 0
     assert len(D.ann_topk_ivf(td)) == 0
+
+
+def test_media_kernel_golden_contract():
+    """VERDICT r2 item 8: the fake media kernels' output SCHEMA and
+    deterministic values are pinned against a committed golden, so a
+    future real-kernel (PIL/ffmpeg) swap is schema-safe — any schema or
+    layout drift fails here first.  Regenerate the golden only on an
+    intentional contract change (see tests/golden/media_kernels.json)."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+
+    from html_extract import multimodal as M
+
+    golden = json.load(open("tests/golden/media_kernels.json"))
+    refs = [f"mem://golden/{i}" for i in range(4)] + ["mem://golden/vid.mp4"]
+    t = pa.table({"asset_ref": pa.array(refs, pa.string())})
+    actors = {
+        "decode": M.MediaDecodeActor(),
+        "resize": M.MediaResizeActor(target=8),
+        "frames": M.FrameSampleActor(n_frames=3),
+    }
+    for name, actor in actors.items():
+        out = actor(t)
+        want = golden[name]
+        assert out.schema.to_string() == want["schema"], f"{name} schema drift"
+        assert out.num_rows == want["num_rows"]
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, out.schema) as w:
+            w.write_table(out)
+        got = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()
+        assert got == want["ipc_md5"], f"{name} value drift"
