@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": M.media_features,
         "media_frames": M.media_frames,
         "reserialized_html": P.reserialized,
+        "pretty_html": P.pretty_html,
         "conformance_diff": lambda sf: P.conformance_diff(sf, num_partitions=8),
         # SQL-checkable table ops
         "doc_stats_by_source": D.doc_stats_by_source,

@@ -99,35 +99,55 @@ def run_bench():
     import glob as _glob
 
     _first = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))[0]
-    ds = rd.read_parquet(
-        corpus_dir,
-        columns=["doc_id", "spans", "n_bytes"],
-        schema=_clean_schema(_first, ["doc_id", "spans", "n_bytes"]),
-    )
-    n_docs, n_spans, n_bytes = consume(
-        P.extracted_dataset(ds=ds, concurrency=pool, batch_size=64)
-    )
-    headline = time.perf_counter() - t0
 
-    queries = {}
+    # GRAFT_BENCH_RUNS > 1: repeat headline + every query and report
+    # per-metric MEDIANS (this host has external ±25% contention swings;
+    # single runs are not comparable across commits — BASELINE.md)
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
+    import statistics
 
-    def timed(name, fn):
-        t = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume lazily-returned datasets
-        if hasattr(res, "count"):
-            res.count()
-        queries[name] = round(time.perf_counter() - t, 3)
+    headline_times = []
+    query_times: dict[str, list] = {}
+    n_docs = n_spans = n_bytes = 0
 
-    timed("token_counts", D.token_counts)
-    timed("quality_scores", D.quality_scores)
-    timed("exact_dedup", D.exact_dedup)
-    timed("doc_stats_by_source", D.doc_stats_by_source)
-    timed("events_hourly", D.events_hourly)
-    timed("orders_by_nation", D.orders_by_nation)
-    timed("ann_topk", D.ann_topk)
-    timed("simhash_fingerprints", D.simhash_fingerprints)
-    timed("minhash_candidates", D.minhash_candidates)
+    query_fns = [
+        ("token_counts", D.token_counts),
+        ("quality_scores", D.quality_scores),
+        ("exact_dedup", D.exact_dedup),
+        ("doc_stats_by_source", D.doc_stats_by_source),
+        ("events_hourly", D.events_hourly),
+        ("orders_by_nation", D.orders_by_nation),
+        ("ann_topk", D.ann_topk),
+        ("simhash_fingerprints", D.simhash_fingerprints),
+        ("minhash_candidates", D.minhash_candidates),
+    ]
+
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(
+            corpus_dir,
+            columns=["doc_id", "spans", "n_bytes"],
+            schema=_clean_schema(_first, ["doc_id", "spans", "n_bytes"]),
+        )
+        n_docs, n_spans, n_bytes = consume(
+            P.extracted_dataset(ds=ds, concurrency=pool, batch_size=64)
+        )
+        headline_times.append(time.perf_counter() - t0)
+
+        for name, fn in query_fns:
+            t = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume lazily-returned datasets
+            query_times.setdefault(name, []).append(
+                time.perf_counter() - t
+            )
+
+    headline = statistics.median(headline_times)
+    queries = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in query_times.items()
+    }
 
     result = {
         "metric": "headline extraction wall time (docs -> HTML5 parse -> spans)",
@@ -141,7 +161,10 @@ def run_bench():
         "html_mb": round(n_bytes / 1e6, 1),
         "docs_per_sec": round(n_docs / headline, 1),
         "mb_per_sec": round(n_bytes / 1e6 / headline, 2),
+        "runs": runs,
     }
+    if runs > 1:
+        result["headline_runs"] = [round(t, 3) for t in headline_times]
     ray.shutdown()
     return result
 

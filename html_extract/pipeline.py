@@ -531,6 +531,43 @@ def reserialized(sf_dir) -> rd.Dataset:
     )
 
 
+def pretty_html(sf_dir, indent_step: int = 1) -> rd.Dataset:
+    """Pretty-printing serializer as a pipeline stage: parse each html
+    span and re-emit reformatted (indented, whitespace-collapsed) HTML
+    — the reference's reformatWhitespace option (Serializer.php:133-208)
+    exposed over the corpus.  Same map-only shape as ``reserialized``;
+    the pretty path costs more per doc (block-classification walks), so
+    it is a separate opt-in stage, never part of the extraction path."""
+    from .parser import parse
+    from .serializer import serialize
+
+    def rt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        spans = t["spans"].to_pylist()
+        out_ids, html = [], []
+        for doc_id, row in zip(ids, spans):
+            for s in row:
+                if s["kind"] == "html":
+                    out_ids.append(doc_id)
+                    html.append(
+                        serialize(
+                            parse(s["text"]).document,
+                            reformat_whitespace=True,
+                            indent_step=indent_step,
+                        )
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "html": pa.array(html, pa.string()),
+            }
+        )
+
+    return interleaved_dataset(sf_dir).map_batches(
+        rt, batch_format="pyarrow", batch_size=64
+    )
+
+
 def dedup_output(ds: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Duplicate-doc_id guard for resumed/unioned outputs (SURVEY.md
     §2.3): hash-partition on doc_id so equal ids co-locate, then one

@@ -110,6 +110,27 @@ def test_reserialized_roundtrip_stable():
         assert serialize(parse(r["html"]).document) == r["html"]
 
 
+def test_pretty_html_stage():
+    import re
+
+    from html_extract import pipeline as P
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    rows = P.pretty_html(SF_DIR).take(5)
+    ws = re.compile(r"\s+")
+    for r in rows:
+        # pretty output is still a parseable document whose rendered
+        # (whitespace-collapsed) text equals a replain-serialize of it
+        doc = parse(r["html"]).document
+        again = serialize(
+            parse(serialize(doc)).document,
+            reformat_whitespace=True,
+        )
+        # idempotence: pretty(parse(pretty(x))) == pretty(x)
+        assert again == r["html"], r["doc_id"]
+
+
 def test_dedup_output_guard():
     import ray.data as rd
     from html_extract import pipeline as P
