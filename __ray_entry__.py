@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": D.lineitem_pricing_summary,
         "sampled_docs": D.sampled_docs,
         "exact_dedup": D.exact_dedup,
+        "dup_group_histogram": D.dup_group_histogram,
+        "top_parts_by_quantity": D.top_parts_by_quantity,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
         "ann_topk": D.ann_topk,
@@ -88,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
         "winnow_fingerprints": D.winnow_fingerprints,
+        "contamination_check": D.contamination_check,
+        "pack_sequences": D.pack_sequences,
         "langid": D.langid,
         "user_sessions": D.user_sessions,
         "stopword_counts": D.stopword_counts,
@@ -165,6 +169,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dup_group_histogram": """
+            SELECT cnt AS n_copies, count(*) AS n_groups FROM (
+                SELECT count(*) AS cnt FROM documents GROUP BY md5(text)
+            ) GROUP BY cnt
+        """,
+        "top_parts_by_quantity": """
+            SELECT p_name, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_name
+            ORDER BY total_qty DESC, p_name
+            LIMIT 10
         """,
         "events_hourly": """
             SELECT event_type,

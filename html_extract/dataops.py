@@ -626,10 +626,24 @@ _MH_A = (
     _rng.randint(1, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64) * 2 + 1
 )
 _MH_B = _rng.randint(0, 1 << 62, size=_MINHASH_PERMS).astype(np.uint64)
-# polynomial mix constants for k-gram hashing and band folding
+# polynomial mix constants for k-gram hashing and band folding.  The
+# first three values are FROZEN (MinHash signatures / goldens depend on
+# them); larger k (e.g. contamination 8-grams) extends the sequence
+# deterministically with odd wrapping products.
 _SH_C = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
 )
+
+
+def _shingle_consts(k: int) -> np.ndarray:
+    if k <= _SH_C.size:
+        return _SH_C
+    out = np.empty(k, dtype=np.uint64)
+    out[: _SH_C.size] = _SH_C
+    with np.errstate(over="ignore"):
+        for j in range(_SH_C.size, k):
+            out[j] = (out[j - 1] * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    return out
 _BAND_MIX = (
     _rng.randint(1, 1 << 62, size=_MINHASH_PERMS // _MINHASH_BANDS).astype(
         np.uint64
@@ -667,6 +681,7 @@ def _batch_shingle_hashes(texts, k=3):
     th = th_u[inv]
     out = []
     pos = 0
+    consts = _shingle_consts(k)
     with np.errstate(over="ignore"):
         for m in lens:
             h = th[pos : pos + m]
@@ -676,12 +691,12 @@ def _batch_shingle_hashes(texts, k=3):
             elif m < k:
                 acc = np.uint64(0)
                 for v in h:
-                    acc = acc * _SH_C[0] + v  # wraps mod 2^64
+                    acc = acc * consts[0] + v  # wraps mod 2^64
                 out.append(np.array([acc], dtype=np.uint64))
             else:
-                sh = h[: m - k + 1] * _SH_C[0]
+                sh = h[: m - k + 1] * consts[0]
                 for j in range(1, k):
-                    sh = sh + h[j : m - k + 1 + j] * _SH_C[j]
+                    sh = sh + h[j : m - k + 1 + j] * consts[j]
                 out.append(np.unique(sh))
     return out
 
@@ -1501,6 +1516,229 @@ def orders_by_nation(sf_dir) -> rd.Dataset:
     return partials.repartition(1).map_batches(
         combine, batch_format="pandas", batch_size=None
     )
+
+
+def top_parts_by_quantity(sf_dir, k: int = 10) -> pd.DataFrame:
+    """Top-k part names by total shipped quantity: the classic
+    fact-to-dimension broadcast join (part is the small side, shipped
+    once with ray.put; lineitem streams through a partial-aggregate
+    map — no shuffle join), then a tiny combine + top-k."""
+    part = pd.read_parquet(_path(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    pk = part.set_index("p_partkey")["p_name"]
+    lookup_ref = ray.put((pk.index.to_numpy(), pk.to_numpy()))
+
+    class JoinSum:
+        def __init__(self):
+            keys, names = ray.get(lookup_ref)
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.names = names[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, lp)
+            df = pd.DataFrame({"p_name": self.names[idx], "q": qty})
+            g = df.groupby("p_name", as_index=False, sort=False).agg(
+                q=("q", "sum")
+            )
+            return pa.table(
+                {
+                    "p_name": pa.array(g["p_name"], pa.string()),
+                    "q": pa.array(g["q"].astype("int64"), pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    partials = ds.map_batches(
+        JoinSum, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        col = "total_qty" if "total_qty" in df.columns else "q"
+        return df.groupby("p_name", as_index=False).agg(total_qty=(col, "sum"))
+
+    agg = _tree_agg(partials, combine).to_pandas()
+    agg = agg.sort_values(
+        ["total_qty", "p_name"], ascending=[False, True], ignore_index=True
+    )
+    return agg.head(k).astype({"total_qty": "int64"})
+
+
+def dup_group_histogram(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Exact-duplicate group-size HISTOGRAM: (n_copies, n_groups) —
+    the dedup-audit view (how much of the corpus is literal copies).
+    Output is bounded by the largest group size, so it stays tiny at
+    any corpus scale (a per-group listing would be O(distinct texts)).
+
+    Scale shape: per-batch digest shrink -> per hash-partition group
+    counts (a group's copies co-locate) -> per-partition histogram ->
+    one tiny final combine over P histograms."""
+    P = _num_partitions(num_partitions)
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(s.encode("utf-8")).digest()
+            for s in t["text"].to_pylist()
+        ]
+        df = pd.DataFrame({"h": digests})
+        g = df.groupby("h", as_index=False, sort=False).size()
+        raw = np.frombuffer(b"".join(g["h"]), dtype="<u8")[::2]
+        return pa.table(
+            {
+                "_part": pa.array(
+                    (raw % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+                "h": pa.array(list(g["h"]), pa.binary(16)),
+                "n": pa.array(g["size"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h", as_index=False).agg(n=("n", "sum"))["n"]
+        hist = sizes.value_counts().reset_index()
+        hist.columns = ["n_copies", "n_groups"]
+        return hist.astype({"n_copies": "int64", "n_groups": "int64"})
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_copies", as_index=False).agg(
+            n_groups=("n_groups", "sum")
+        )
+
+    return _tree_agg(per_part, final)
+
+
+def contamination_check(sf_dir, n_probes: int = 16, ngram: int = 8) -> rd.Dataset:
+    """Benchmark-decontamination scan: count, per document, how many
+    of a probe set's word n-grams it contains (docs sharing n-grams
+    with an eval set must be dropped before training).
+
+    Scale shape: the probe n-gram hash set is tiny and broadcast once
+    with ray.put; each batch computes its word-8-gram hashes with the
+    same vectorized kernel the MinHash path uses and intersects via
+    np.isin — map-only, no shuffle, no driver collection.  Probes
+    default to n-grams sampled from a bounded HEAD read of the corpus
+    itself (deterministic; the probe docs must flag themselves, which
+    doubles as the built-in self-test)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(_path(sf_dir, "documents"))
+    probe_hashes = np.empty(0, np.uint64)
+    if pf.metadata.num_rows:
+        head = next(
+            pf.iter_batches(batch_size=max(n_probes * 4, 64), columns=["text"])
+        )
+        texts = head.column("text").to_pylist()
+        probes = []
+        for t in texts:
+            toks = t.split()
+            if len(toks) >= ngram:
+                mid = max(0, (len(toks) - ngram) // 2)
+                probes.append(" ".join(toks[mid : mid + ngram]))
+            if len(probes) >= n_probes:
+                break
+        if probes:
+            probe_hashes = np.unique(
+                np.concatenate(
+                    [a for a in _batch_shingle_hashes(probes, k=ngram)]
+                )
+            )
+    probes_ref = ray.put(probe_hashes)
+
+    class Scanner:
+        def __init__(self):
+            self.probes = ray.get(probes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sh = _batch_shingle_hashes(t["text"].to_pylist(), k=ngram)
+            hits = [
+                int(np.isin(a, self.probes, assume_unique=True).sum())
+                if a.size
+                else 0
+                for a in sh
+            ]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_contaminated_ngrams": pa.array(hits, pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        Scanner, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+
+def pack_sequences(sf_dir, seq_len: int = 2048, num_partitions=None) -> rd.Dataset:
+    """Greedy sequence packing for training: bin documents (by
+    whitespace token count) into fixed-size windows, the standard
+    pretraining batch-prep step.  Emits one row per pack:
+    (pack_id, n_docs, n_tokens, fill_pct).
+
+    Scale shape: docs hash-partition by doc_id; each partition packs
+    independently (first-fit-decreasing over its own docs — packing is
+    a per-partition decision, never global), so pack quality is local
+    but the stage is embarrassingly parallel and deterministic.  Docs
+    longer than seq_len are pre-split: every FULL seq_len chunk is
+    emitted as its own 100%-full pack and only the remainder enters
+    the greedy pool.  The per-partition loop is O(docs/partition)
+    Python over lengths — never per token."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lengths(t: pa.Table) -> pa.Table:
+        counts = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": counts.cast(pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(lengths, batch_format="pyarrow")
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(
+            pd.util.hash_pandas_object(g["doc_id"].head(1), index=False).iloc[0]
+            % 1_000_000
+        )
+        rows = []  # (n_docs, n_tokens)
+        pool = []
+        for n in g["n_tok"].to_numpy():
+            n = int(n)
+            full, rem = divmod(n, seq_len)
+            rows.extend([(1, seq_len)] * full)
+            if rem:
+                pool.append(rem)
+        # first-fit-decreasing over the remainders
+        pool.sort(reverse=True)
+        bins: list[list[int]] = []  # [n_tokens, n_docs]
+        for n in pool:
+            for b in bins:
+                if b[0] + n <= seq_len:
+                    b[0] += n
+                    b[1] += 1
+                    break
+            else:
+                bins.append([n, 1])
+        rows.extend((nd, nt) for nt, nd in bins)
+        return pd.DataFrame(
+            {
+                "pack_id": [f"{part:06d}-{i:06d}" for i in range(len(rows))],
+                "n_docs": [nd for nd, _ in rows],
+                "n_tokens": [nt for _, nt in rows],
+                "fill_pct": [round(100 * nt / seq_len, 2) for _, nt in rows],
+            }
+        )
+
+    return _partition_apply(toks, ["doc_id"], pack, num_partitions)
 
 
 # ---------------------------------------------------------------------------
