@@ -170,3 +170,43 @@ def test_encoding_change_matrix_reference_parity():
                 stated,
                 meta_attr,
             )
+
+
+def test_charset_edge_branches():
+    """Trace-driven edges: unknown labels, UTF-16BE BOM, content-type
+    without charset, meta-content scanner quote/EOF forms, prescan
+    budget miss, XML-declaration fallback (Charset.php:15-25, 44-53,
+    56-125, 295-377)."""
+    from html_extract import charset as cs
+
+    # label registry
+    assert cs.lookup_label("no-such-encoding") is None
+    assert cs.lookup_label(None) is None
+    assert cs.lookup_label("  UTF-8\t") == "UTF-8"
+    # BOMs
+    assert cs.sniff_bom(b"\xfe\xffx") == ("UTF-16BE", 2)
+    assert cs.sniff_bom(b"\xff\xfex") == ("UTF-16LE", 2)
+    assert cs.sniff_bom(b"\xef\xbb\xbfx") == ("UTF-8", 3)
+    assert cs.sniff_bom(b"plain") is None
+    # content-type forms
+    assert cs.from_content_type(None) is None
+    assert cs.from_content_type("text/html") is None  # no charset param
+    assert cs.from_content_type("text/html; charset=utf-8") == "UTF-8"
+    assert cs.from_content_type('text/html; charset="latin1"') == "windows-1252"
+    assert cs.from_content_type("utf-8") == "UTF-8"  # bare label
+    # meta-content scanner
+    assert cs.charset_from_meta_content(b"text/html; charset=utf-8") == "utf-8"
+    assert cs.charset_from_meta_content("charset = 'koi8-r' x") == "koi8-r"
+    assert cs.charset_from_meta_content('charset="abc') is None  # no close
+    assert cs.charset_from_meta_content("charset=") is None  # EOF after =
+    assert cs.charset_from_meta_content("charsetX charset=Y") == "Y"
+    assert cs.charset_from_meta_content("nothing here") is None
+    # prescan: meta outside the byte budget is not seen
+    far = b"<!--" + b" " * 2048 + b'--><meta charset="koi8-r">'
+    assert cs.prescan(far, limit=64) is None
+    assert cs.prescan(b"x" * 100) is None
+    # XML declaration fallback
+    assert cs.xml_declaration(b"<?xml version='1.0' encoding='ISO-8859-2'?>") == "ISO-8859-2"
+    assert cs.xml_declaration(b"<html>") is None
+    enc, certain, bl = cs.detect(b"<?xml version='1.0' encoding='KOI8-R'?><doc/>")
+    assert (enc, certain, bl) == ("KOI8-R", False, 0)
