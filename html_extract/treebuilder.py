@@ -882,8 +882,25 @@ class TreeBuilder:
         return self._reprocess_as(tok)
 
     def _reprocess_as(self, tok):
-        """Reprocess a (possibly rewritten) token in the current mode."""
-        return MODE_TABLE[self.mode](self, tok)
+        """Reprocess a (possibly rewritten) token, looping locally to
+        completion.  Callers use this after consuming a token PREFIX
+        (the whitespace splits), so the outer _process retry loop —
+        which re-dispatches the ORIGINAL token — must never see a
+        _REPROCESS bubble up from here: a downstream mode that mode-
+        switches and retries (e.g. in-table pending text) would then
+        re-insert the consumed prefix (found as doubled whitespace via
+        the colgroup ' x' case)."""
+        guard = 0
+        while True:
+            guard += 1
+            if guard > MAX_REPROCESS:
+                raise RuntimeError("token reprocessing loop exceeded cap")
+            if self._dispatch_foreign(tok):
+                done = self._foreign(tok)
+            else:
+                done = MODE_TABLE[self.mode](self, tok)
+            if done is not _REPROCESS:
+                return None
 
     def _m_before_html(self, tok):
         kind = tok[0]
@@ -1928,7 +1945,11 @@ class TreeBuilder:
             return None
         self.stack.pop()
         self.mode = IN_TABLE
-        return _REPROCESS
+        # reprocess the LOCAL token: the Character branch above may have
+        # consumed a leading-whitespace prefix into the colgroup; a bare
+        # _REPROCESS would re-dispatch the ORIGINAL token and insert the
+        # whitespace twice (spec: only the unprocessed rest is retried)
+        return self._reprocess_as(tok)
 
     def _m_in_table_body(self, tok):
         kind = tok[0]
