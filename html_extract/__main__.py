@@ -22,7 +22,13 @@ def main(argv=None):
     run.add_argument("--no-resume", action="store_true")
 
     sub.add_parser("parse", help="stdin HTML -> extracted spans (JSON lines)")
-    sub.add_parser("serialize", help="stdin HTML -> spec serialization")
+    ser = sub.add_parser("serialize", help="stdin HTML -> spec serialization")
+    ser.add_argument(
+        "--pretty",
+        action="store_true",
+        help="reformat whitespace (reference reformatWhitespace option)",
+    )
+    ser.add_argument("--indent-step", type=int, default=1)
 
     args = ap.parse_args(argv)
 
@@ -67,7 +73,13 @@ def main(argv=None):
         from .parser import parse
         from .serializer import serialize
 
-        print(serialize(parse(data).document))
+        print(
+            serialize(
+                parse(data).document,
+                reformat_whitespace=args.pretty,
+                indent_step=args.indent_step,
+            )
+        )
         return 0
     return 1
 

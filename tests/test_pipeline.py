@@ -288,3 +288,45 @@ def test_pathological_document_skew_isolation(tmp_path):
     monster_row = out[out["doc_id"] == "doc-000000000025"]
     assert len(monster_row) == 1
     assert len(monster_row.iloc[0]["spans"]) >= 5
+
+
+def test_cli_job_submit_surface(tmp_path):
+    """The `python -m html_extract` CLI — the `ray job submit`
+    entrypoint surface — runs end-to-end in a fresh process: extract
+    writes sharded output + manifests; parse/serialize work over
+    stdin (incl. the round-3 --pretty mode)."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "html_extract", "extract",
+            "--sf", SF_DIR, "--out", str(out_dir), "--shards", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifests = json.loads(r.stdout)
+    assert len(manifests) == 2
+    assert sum(m["row_count"] for m in manifests) == 500
+    assert (out_dir / "_manifests").is_dir()
+
+    r = subprocess.run(
+        [sys.executable, "-m", "html_extract", "parse"],
+        input="<p>hello <img src=x></p>",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    assert any(row["kind"] == "media" and row["media_ref"] == "x" for row in rows)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "html_extract", "serialize", "--pretty"],
+        input="<div><p> x </p></div>",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0
+    assert "\n" in r.stdout and "<p>x</p>" in r.stdout
