@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": D.sampled_docs,
         "exact_dedup": D.exact_dedup,
         "dup_group_histogram": D.dup_group_histogram,
+        "filtered_corpus": D.filtered_corpus,
         "top_parts_by_quantity": D.top_parts_by_quantity,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
@@ -174,6 +175,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT cnt AS n_copies, count(*) AS n_groups FROM (
                 SELECT count(*) AS cnt FROM documents GROUP BY md5(text)
             ) GROUP BY cnt
+        """,
+        "filtered_corpus": """
+            SELECT doc_id FROM documents
+            WHERE n_chars BETWEEN 64 AND 4096
+              AND 100 * len(list_filter(
+                      regexp_split_to_array(trim(text), '\\s+'),
+                      x -> x IN ('the','a','and','of','to','in','is','it',
+                                 'you','that','for','on','with','as','at',
+                                 'be','this')))
+                  >= 2 * len(regexp_split_to_array(trim(text), '\\s+'))
         """,
         "top_parts_by_quantity": """
             SELECT p_name, CAST(sum(l_quantity) AS BIGINT) AS total_qty

@@ -1518,6 +1518,46 @@ def orders_by_nation(sf_dir) -> rd.Dataset:
     )
 
 
+def filtered_corpus(
+    sf_dir, min_chars: int = 64, max_chars: int = 4096, min_stop_pct: int = 2
+) -> rd.Dataset:
+    """Quality-gate filter chain: keep documents whose size is in
+    [min_chars, max_chars] AND whose stopword ratio is at least
+    ``min_stop_pct`` percent — the standard cheap-quality corpus cut.
+
+    Scale shape: the n_chars range is pushed down INTO the parquet
+    read (`filter=` expression — pruned rows never leave storage /
+    row groups outside the range are skipped), and the stopword ratio
+    is one vectorized split/explode/isin pass per batch.  Integer
+    ratio math keeps the SQL oracle exact."""
+    stops = _STOPWORDS["en"]
+    path = _path(sf_dir, "documents")
+    cols = ["doc_id", "text", "n_chars"]  # filter column must be projected
+    flt = (pc.field("n_chars") >= min_chars) & (pc.field("n_chars") <= max_chars)
+    ds = rd.read_parquet(
+        path,
+        columns=cols,
+        filter=flt,
+        schema=_clean_schema(path, cols),
+    )
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        n_words = toks.str.len().fillna(0).astype("int64")
+        n_stop = (
+            toks.explode()
+            .isin(stops)
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .astype("int64")
+        )
+        keep = 100 * n_stop >= min_stop_pct * n_words
+        return df.loc[keep, ["doc_id"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def top_parts_by_quantity(sf_dir, k: int = 10) -> pd.DataFrame:
     """Top-k part names by total shipped quantity: the classic
     fact-to-dimension broadcast join (part is the small side, shipped

@@ -722,3 +722,24 @@ def test_pack_sequences_conserves_tokens(tmp_path):
     assert out.sort_values("pack_id", ignore_index=True).equals(
         out2.sort_values("pack_id", ignore_index=True)
     )
+
+
+def test_filtered_corpus_matches_pandas():
+    from html_extract import dataops as D
+
+    got = set(D.filtered_corpus(SF).to_pandas()["doc_id"])
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    stops = D._STOPWORDS["en"]
+
+    def ok(row):
+        if not (64 <= row.n_chars <= 4096):
+            return False
+        toks = row.text.split()
+        n_stop = sum(1 for w in toks if w in stops)
+        return 100 * n_stop >= 2 * len(toks)
+
+    want = {r.doc_id for r in docs.itertuples() if ok(r)}
+    assert got == want
+    assert 0 < len(got) < len(docs)  # the gate actually cuts something
