@@ -3,8 +3,9 @@ deterministic).  The reference has no property testing (SURVEY.md §5.4);
 these pin the engine's global invariants on adversarial inputs:
 
 - parse() never raises, whatever the input;
-- serialize(parse(x)) is a FIXED POINT on its own output
-  (serialize . parse . serialize == serialize . parse);
+- serialize(parse(x)) CONVERGES after one normalizing reparse
+  (plaintext excluded: a <plaintext> element is not serializable —
+  everything after it reparses as literal text, so output grows);
 - extract_spans emits contiguous 0-based span order;
 - the pretty printer is idempotent and whitespace-collapse-preserving.
 """
@@ -56,6 +57,7 @@ def test_serialize_parse_converges(src):
     # itself warns: e.g. an HTML <p> nested inside <svg> breaks out on
     # reparse, §13.3 round-trip caveat) — but it must CONVERGE after
     # one normalizing reparse
+    hypothesis.assume("plaintext" not in src.lower())  # not serializable
     once = serialize(parse(src).document)
     twice = serialize(parse(once).document)
     third = serialize(parse(twice).document)
@@ -77,6 +79,7 @@ def test_extract_span_order_contiguous(src):
 def test_pretty_print_converges(src):
     # same §13.3 round-trip caveat as above: idempotence is asserted on
     # the normalized (once-reparsed) document
+    hypothesis.assume("plaintext" not in src.lower())  # not serializable
     pretty = serialize(parse(src).document, reformat_whitespace=True)
     pretty2 = serialize(parse(pretty).document, reformat_whitespace=True)
     pretty3 = serialize(parse(pretty2).document, reformat_whitespace=True)
