@@ -641,7 +641,13 @@ class TreeBuilder:
                     ):
                         break
                     self.stack.pop()
-                return _REPROCESS
+                # spec: "reprocess ... in HTML content" — dispatch the
+                # HTML insertion mode DIRECTLY (the reference's `goto
+                # ProcessToken`, TreeConstructor.php:3330-3333), never
+                # back through the foreign dispatcher: in a foreign
+                # FRAGMENT the adjusted current node stays the (foreign)
+                # context element forever and the dispatcher would loop
+                return self._reprocess_as(tok, html_rules=True)
             ns = self.adjusted_current.namespace
             if ns == SVG_NS:
                 name = SVG_TAG_NAME_MAP.get(name, name)
@@ -881,7 +887,7 @@ class TreeBuilder:
         self.mode = BEFORE_HTML
         return self._reprocess_as(tok)
 
-    def _reprocess_as(self, tok):
+    def _reprocess_as(self, tok, html_rules=False):
         """Reprocess a (possibly rewritten) token, looping locally to
         completion.  Callers use this after consuming a token PREFIX
         (the whitespace splits), so the outer _process retry loop —
@@ -889,13 +895,20 @@ class TreeBuilder:
         _REPROCESS bubble up from here: a downstream mode that mode-
         switches and retries (e.g. in-table pending text) would then
         re-insert the consumed prefix (found as doubled whitespace via
-        the colgroup ' x' case)."""
+        the colgroup ' x' case).
+
+        ``html_rules=True`` skips the foreign-content dispatcher for
+        the whole loop — the spec's "reprocess the token according to
+        the rules ... in HTML content" after a foreign breakout (the
+        reference's `goto ProcessToken`): in a foreign FRAGMENT the
+        adjusted current node stays the foreign context element
+        forever, so re-entering the dispatcher would loop."""
         guard = 0
         while True:
             guard += 1
             if guard > MAX_REPROCESS:
                 raise RuntimeError("token reprocessing loop exceeded cap")
-            if self._dispatch_foreign(tok):
+            if not html_rules and self._dispatch_foreign(tok):
                 done = self._foreign(tok)
             else:
                 done = MODE_TABLE[self.mode](self, tok)
