@@ -84,3 +84,52 @@ def test_pretty_print_converges(src):
     pretty2 = serialize(parse(pretty).document, reformat_whitespace=True)
     pretty3 = serialize(parse(pretty2).document, reformat_whitespace=True)
     assert pretty3 == pretty2
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(
+        ["div", "td", "tr", "tbody", "table", "select", "option", "template",
+         "head", "html", "frameset", "colgroup", "caption", "title", "script",
+         "style", "textarea", "plaintext", "svg path", "math ms"]
+    ),
+    _html,
+)
+def test_parse_fragment_never_raises(context, src):
+    from html_extract.parser import parse_fragment
+
+    frag = parse_fragment(context, src)
+    assert frag is not None
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(
+        ["svg svg", "svg desc", "svg foreignObject", "math ms",
+         "math mtext", "math annotation-xml", "math math"]
+    ),
+    _html,
+)
+def test_foreign_fragments_parse_and_serialize(context, src):
+    # the r3 fragment-breakout fix territory: foreign contexts must
+    # never hit the reprocess cap, and their fragments must serialize
+    from html_extract.parser import parse_fragment
+    from html_extract.serializer import serialize_inner
+
+    frag = parse_fragment(context, src)
+    serialize_inner(frag)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(
+        [b"", b"\xef\xbb\xbf", b"\xfe\xff", b"\xff\xfe",
+         b'<meta charset="shift_jis">', b'<meta charset="x-user-defined">',
+         b'<meta charset="replacement">', b'<meta charset="utf-16le">']
+    ),
+    st.binary(max_size=200),
+)
+def test_bytes_input_never_raises(prefix, body):
+    # full sniff + bounded encoding-change restart on arbitrary bytes
+    out = parse(prefix + body, config=Config(error_collection=True))
+    assert out.encoding
