@@ -1163,7 +1163,7 @@ def _stack_embeddings(col) -> np.ndarray:
 
 def embedding_near_dups(
     sf_dir, threshold_pct=95, n_planes=6, n_tables=8, num_partitions=None
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH —
     the 100 TB shape: NO full-matrix broadcast, NO O(N^2) similarity.
 
@@ -1244,8 +1244,16 @@ def embedding_near_dups(
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["a", "b"])
 
-    pairs = _partition_apply(partials, ["a", "b"], distinct, num_partitions)
-    out = pairs.to_pandas()
+    # distinct pairs stay a Dataset all the way (a pair appears once per
+    # shared bucket; the (a,b)-hash partition dedupes without a driver
+    # merge).  Collected + sorted only in the small-scale convenience.
+    return _partition_apply(partials, ["a", "b"], distinct, num_partitions)
+
+
+def embedding_near_dups_df(sf_dir, **kw) -> pd.DataFrame:
+    """Driver-side convenience for :func:`embedding_near_dups`
+    (bounded by O(near-dup pairs))."""
+    out = embedding_near_dups(sf_dir, **kw).to_pandas()
     if "a" not in out.columns or len(out) == 0:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}

@@ -150,7 +150,7 @@ def test_embedding_near_dups_finds_planted_pair(tmp_path):
         }
     )
     pq.write_table(tbl, tmp_path / "embeddings.parquet")
-    pairs = D.embedding_near_dups(str(tmp_path), threshold_pct=95)
+    pairs = D.embedding_near_dups_df(str(tmp_path), threshold_pct=95)
     assert (3, 5) in set(zip(pairs["a"], pairs["b"]))
 
 
@@ -393,7 +393,7 @@ def test_embedding_near_dups_recall_planted_batch(tmp_path):
         }
     )
     pq.write_table(tbl, tmp_path / "embeddings.parquet")
-    pairs = D.embedding_near_dups(str(tmp_path), threshold_pct=95)
+    pairs = D.embedding_near_dups_df(str(tmp_path), threshold_pct=95)
     got = set(zip(pairs["a"], pairs["b"]))
     found = sum(1 for p in planted if p in got)
     assert found >= 19  # >= 95% recall on planted pairs
@@ -611,7 +611,7 @@ def test_major_ops_handle_empty_corpus(tmp_path):
     assert D.simhash_fingerprints(td).count() == 0
     assert len(D.word_frequencies(td)) == 0
     assert D.winnow_fingerprints(td).count() == 0
-    assert len(D.embedding_near_dups(td)) == 0
+    assert len(D.embedding_near_dups_df(td)) == 0
     assert len(D.ann_topk_lsh(td)) == 0
     assert len(D.ann_topk_ivf(td)) == 0
 
