@@ -133,3 +133,31 @@ def test_bytes_input_never_raises(prefix, body):
     # full sniff + bounded encoding-change restart on arbitrary bytes
     out = parse(prefix + body, config=Config(error_collection=True))
     assert out.encoding
+
+
+def _text_tokens(doc):
+    from html_extract.dom import Document, Element, Text
+
+    out = []
+    stack = [doc]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Text):
+            out.extend(n.data.split())
+        elif isinstance(n, Element):
+            if n.template_content is None:
+                stack.extend(reversed(n.children))
+        elif isinstance(n, Document):
+            stack.extend(reversed(n.children))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(_html)
+def test_pretty_print_preserves_rendered_text(src):
+    # the strongest pretty-printer guarantee: reformatting may move
+    # whitespace but must never lose or merge rendered-text tokens
+    hypothesis.assume("plaintext" not in src.lower())
+    doc = parse(src).document
+    pretty = serialize(doc, reformat_whitespace=True)
+    assert _text_tokens(parse(pretty).document) == _text_tokens(doc)
