@@ -100,10 +100,11 @@ def run_bench():
 
     _first = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))[0]
 
-    # GRAFT_BENCH_RUNS > 1: repeat headline + every query and report
-    # per-metric MEDIANS (this host has external ±25% contention swings;
-    # single runs are not comparable across commits — BASELINE.md)
-    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "1"))
+    # Repeat headline + every query and report per-metric MEDIANS
+    # (default 3 runs: this host has external ±25% contention swings,
+    # so single runs are not comparable across commits — BASELINE.md;
+    # set GRAFT_BENCH_RUNS=1 for a quick single pass)
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     import statistics
 
     headline_times = []
@@ -184,6 +185,10 @@ def run_scaling():
         # run finished in ~4 s and those constants alone depressed
         # 8->32 efficiency to 0.58; at 24 the same pair measures 0.745
         env.setdefault("GRAFT_BENCH_REPLICATE", "24")
+        # one run per CPU level: each level is already long enough to
+        # amortize session constants, and 3x-ing both levels would blow
+        # the scaling harness past driver time budgets
+        env.setdefault("GRAFT_BENCH_RUNS", "1")
         env["GRAFT_POOL"] = str(max(1, ncpu // 2))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
