@@ -83,11 +83,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
         "ann_topk": D.ann_topk,
+        # multi-table hyperplane LSH at a threshold the driver corpus
+        # provably populates (59 pairs at sf0.01); planes=3 x tables=24
+        # gives empirically-exact recall there, so the pair set equals
+        # the O(N^2) DuckDB twin and the value hash matches.
+        "embedding_near_dups": lambda sf: D.embedding_near_dups(
+            sf, threshold_pct=40, n_planes=3, n_tables=24
+        ),
         # dedup / similarity (non-SQL -> rows-only)
         "minhash_candidates": D.minhash_candidates,
         "minhash_dedup": D.minhash_dedup,
         "simhash_fingerprints": D.simhash_fingerprints,
-        "embedding_near_dups": D.embedding_near_dups,
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
         "winnow_fingerprints": D.winnow_fingerprints,
@@ -253,5 +259,10 @@ def oracle_sql() -> dict[str, str]:
                                     DESC, e.vec_id) AS BIGINT) AS rank
                 FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "embedding_near_dups": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.40
         """,
     }

@@ -106,12 +106,14 @@ def _hash_mod(df: pd.DataFrame, key_cols, mod: int) -> np.ndarray:
 
 
 def _partition_apply(
-    ds: rd.Dataset, key_cols, group_fn, num_partitions=None
+    ds: rd.Dataset, key_cols, group_fn, num_partitions=None, keep_part=False
 ) -> rd.Dataset:
     """Hash-partition ``ds`` on ``key_cols`` and run ``group_fn`` once
     per partition (vectorized pandas inside; rows with equal keys are
     guaranteed co-located).  The groupby key is the PARTITION id, so
-    the per-group Python overhead is O(P), not O(distinct keys)."""
+    the per-group Python overhead is O(P), not O(distinct keys).
+    With ``keep_part`` the ``_part`` column (unique per partition by
+    construction) stays visible to ``group_fn``."""
     P = _num_partitions(num_partitions)
     cols = list(key_cols)
 
@@ -121,6 +123,8 @@ def _partition_apply(
         return df
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
+        if keep_part:
+            return group_fn(g)
         return group_fn(g.drop(columns=["_part"]))
 
     return (
@@ -458,17 +462,20 @@ def sampled_docs(sf_dir, fraction=0.1, seed=7) -> rd.Dataset:
     `ds.random_sample` is per-row Bernoulli with a seeded generator, so
     the row COUNT varies with block layout; for a deterministic result
     the sample is keyed on a hash of doc_id instead — stable across any
-    partitioning (the property a resumable sampling stage needs)."""
+    partitioning (the property a resumable sampling stage needs).
+    The key is vectorized siphash (pandas hash_pandas_object with the
+    seed folded in), never a per-row digest loop.  Re-keyed from the
+    r1-r3 crc32 cut in round 4 — same documented-stable contract, one
+    documented re-key."""
     ds = _read(sf_dir, "documents", ["doc_id"])
-    cut = int(fraction * 0xFFFFFFFF)
+    cut = np.uint64(int(fraction * float(2**64 - 1)))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        keep = [
-            zlib.crc32(f"{seed}:{d}".encode()) <= cut for d in df["doc_id"]
-        ]
-        return df[pd.Series(keep, index=df.index)]
+        keyed = df["doc_id"].astype(str) + f":{seed}"
+        h = pd.util.hash_pandas_object(keyed, index=False).to_numpy(
+            dtype=np.uint64
+        )
+        return df[h <= cut]
 
     return ds.map_batches(pick, batch_format="pandas")
 
@@ -1504,7 +1511,13 @@ def orders_by_nation(sf_dir) -> rd.Dataset:
         def __call__(self, t: pa.Table) -> pa.Table:
             ck = t["o_custkey"].to_numpy(zero_copy_only=False)
             idx = np.searchsorted(self.keys, ck)
-            nkeys = self.vals[idx]
+            # inner-join semantics: an o_custkey absent from customer is
+            # DROPPED, never silently mapped to the nearest key (orphan
+            # fact rows must not corrupt a nation bucket at scale)
+            valid = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == ck
+            )
+            nkeys = self.vals[idx[valid]]
             uniq, counts = np.unique(nkeys, return_counts=True)
             return pa.table(
                 {
@@ -1560,7 +1573,11 @@ def filtered_corpus(
             .reindex(df.index, fill_value=0)
             .astype("int64")
         )
-        keep = 100 * n_stop >= min_stop_pct * n_words
+        # zero-word docs are excluded explicitly: the DuckDB oracle's
+        # regexp_split_to_array(trim(text)) yields [''] (1 token) for
+        # empty/whitespace-only text and so drops them; Python split()
+        # yields 0 tokens and 100*0 >= pct*0 would keep them.
+        keep = (n_words > 0) & (100 * n_stop >= min_stop_pct * n_words)
         return df.loc[keep, ["doc_id"]]
 
     return ds.map_batches(f, batch_format="pandas")
@@ -1586,7 +1603,14 @@ def top_parts_by_quantity(sf_dir, k: int = 10) -> pd.DataFrame:
             lp = t["l_partkey"].to_numpy(zero_copy_only=False)
             qty = t["l_quantity"].to_numpy(zero_copy_only=False)
             idx = np.searchsorted(self.keys, lp)
-            df = pd.DataFrame({"p_name": self.names[idx], "q": qty})
+            # inner-join semantics: drop l_partkey values absent from part
+            # rather than attributing quantity to the nearest part name
+            valid = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == lp
+            )
+            df = pd.DataFrame(
+                {"p_name": self.names[idx[valid]], "q": qty[valid]}
+            )
             g = df.groupby("p_name", as_index=False, sort=False).agg(
                 q=("q", "sum")
             )
@@ -1753,10 +1777,11 @@ def pack_sequences(sf_dir, seq_len: int = 2048, num_partitions=None) -> rd.Datas
     toks = ds.map_batches(lengths, batch_format="pyarrow")
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(
-            pd.util.hash_pandas_object(g["doc_id"].head(1), index=False).iloc[0]
-            % 1_000_000
-        )
+        # pack_id prefix = the hash-partition id itself (unique per
+        # partition by construction) — a re-hash of the first doc_id
+        # could collide across partitions (birthday at ~1e3 partitions)
+        part = int(g["_part"].iloc[0])
+        g = g.drop(columns=["_part"])
         rows = []  # (n_docs, n_tokens)
         pool = []
         for n in g["n_tok"].to_numpy():
@@ -1786,7 +1811,7 @@ def pack_sequences(sf_dir, seq_len: int = 2048, num_partitions=None) -> rd.Datas
             }
         )
 
-    return _partition_apply(toks, ["doc_id"], pack, num_partitions)
+    return _partition_apply(toks, ["doc_id"], pack, num_partitions, keep_part=True)
 
 
 # ---------------------------------------------------------------------------

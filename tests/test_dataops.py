@@ -738,8 +738,153 @@ def test_filtered_corpus_matches_pandas():
             return False
         toks = row.text.split()
         n_stop = sum(1 for w in toks if w in stops)
-        return 100 * n_stop >= 2 * len(toks)
+        return len(toks) > 0 and 100 * n_stop >= 2 * len(toks)
 
     want = {r.doc_id for r in docs.itertuples() if ok(r)}
     assert got == want
     assert 0 < len(got) < len(docs)  # the gate actually cuts something
+
+
+def test_broadcast_joins_drop_orphan_fact_keys(tmp_path):
+    """VERDICT r3 #2: a fact-side key absent from the broadcast
+    dimension must be DROPPED (inner-join semantics), never silently
+    mapped to the nearest dimension row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 10], pa.int64()),
+                "c_nationkey": pa.array([0, 1, 1], pa.int64()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    # custkey 5 is an interior orphan (would nearest-match 10 -> BETA);
+    # custkey 99 is past the end (would read out of bounds unguarded)
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 2, 2, 5, 99], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    out = (
+        D.orders_by_nation(str(tmp_path))
+        .to_pandas()
+        .set_index("n_name")["n_orders"]
+    )
+    assert out.to_dict() == {"ALPHA": 1, "BETA": 2}
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 10], pa.int64()),
+                "p_name": pa.array(["p-one", "p-two", "p-ten"]),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 5, 99], pa.int64()),
+                "l_quantity": pa.array([3, 4, 1000, 1000], pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = D.top_parts_by_quantity(str(tmp_path), k=10)
+    assert dict(zip(got["p_name"], got["total_qty"])) == {
+        "p-one": 3,
+        "p-two": 4,
+    }
+
+
+def test_pack_sequences_ids_unique_across_many_partitions(tmp_path):
+    """ADVICE r3: pack_id prefixes come from the partition id itself,
+    so ids can never collide corpus-wide (the old first-doc-hash
+    prefix had birthday collisions at ~1e3 partitions)."""
+    from html_extract import dataops as D
+
+    ids = list(range(300))
+    texts = [" ".join(f"w{j}" for j in range(20 + (i % 37))) for i in ids]
+    _write_docs(tmp_path, ids, texts)
+    out = D.pack_sequences(
+        str(tmp_path), seq_len=128, num_partitions=64
+    ).to_pandas()
+    assert out["pack_id"].is_unique
+    total = sum(len(t.split()) for t in texts)
+    assert int(out["n_tokens"].sum()) == total
+
+
+def test_filtered_corpus_drops_empty_and_whitespace_docs(tmp_path):
+    """ADVICE r3: empty/whitespace-only docs must be dropped to match
+    the DuckDB oracle (regexp_split of trim('') yields [''])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_extract import dataops as D
+
+    texts = ["", "   ", "the and of " * 30, "zz " * 40]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = set(
+        D.filtered_corpus(str(tmp_path), min_chars=0, max_chars=4096)
+        .to_pandas()["doc_id"]
+    )
+    assert got == {2}  # stopword-rich doc only; empty/ws/stopword-poor out
+
+
+def test_sampled_docs_deterministic_and_partition_invariant():
+    from html_extract import dataops as D
+
+    a = sorted(D.sampled_docs(SF).to_pandas()["doc_id"])
+    b = sorted(D.sampled_docs(SF).to_pandas()["doc_id"])
+    assert a == b
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert 0.03 * n_docs < len(a) < 0.25 * n_docs  # ~10% +- generous band
+    # different seed -> different (deterministic) subset
+    c = sorted(D.sampled_docs(SF, seed=8).to_pandas()["doc_id"])
+    assert c != a
+
+
+def test_embedding_near_dups_matches_exact_pairs_at_driver_config():
+    """The registered driver query (threshold 40, planes=3, tables=24)
+    must equal the O(N^2) exact pair set — this is what makes the
+    DuckDB oracle promotion sound."""
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    got = D.embedding_near_dups_df(SF, threshold_pct=40, n_planes=3, n_tables=24)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu, ju = np.triu_indices(len(Mn), k=1)
+    hit = S[iu, ju] >= 0.40
+    ids = df["vec_id"].to_numpy()
+    want = sorted(
+        zip(
+            np.minimum(ids[iu[hit]], ids[ju[hit]]),
+            np.maximum(ids[iu[hit]], ids[ju[hit]]),
+        )
+    )
+    assert list(zip(got["a"], got["b"])) == want
+    assert len(want) > 0  # non-vacuous on the test corpus
