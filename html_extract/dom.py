@@ -41,11 +41,17 @@ class Node:
 
 
 class Document(Node):
-    __slots__ = ("quirks_mode",)
+    __slots__ = ("quirks_mode", "has_base")
 
     def __init__(self):
         super().__init__()
         self.quirks_mode = 0  # NO_QUIRKS
+        # maintained by the HTML tree builder (False at parse start,
+        # True when an HTML <base> is inserted): lets the extractor
+        # skip its whole-document base-href walk for the common
+        # no-base case.  Defaults True (= "unknown, do the walk") so
+        # documents assembled by other builders stay correct.
+        self.has_base = True
 
 
 class DocumentFragment(Node):

@@ -70,7 +70,19 @@ def _norm(text: str) -> str:
 def _is_pruned(el: Element) -> bool:
     if el.namespace == HTML_NS and el.name in PRUNE_TAGS:
         return True
-    cls = el.attrs.get("class", "") + " " + el.attrs.get("id", "")
+    attrs = el.attrs
+    if not attrs:  # the overwhelmingly common bare element
+        return False
+    cls = attrs.get("class")
+    eid = attrs.get("id")
+    if cls:
+        if eid:
+            cls = cls + " " + eid
+    elif eid:
+        cls = eid
+    else:
+        return False
+    # BOILER_RE words are >= 2 chars, so 1-char values can never match
     return len(cls) > 1 and BOILER_RE.search(cls) is not None
 
 
@@ -127,6 +139,10 @@ def _keep(block: _Block, clean: str) -> bool:
 
 def _find_base_href(doc):
     """First <base href> in the document (spec: only the first counts)."""
+    # tree-builder-parsed documents flag base insertion; skip the walk
+    # when no <base> exists (documents from other builders default True)
+    if not getattr(doc, "has_base", True):
+        return None
     stack = list(reversed(doc.children))
     while stack:
         node = stack.pop()
@@ -163,59 +179,77 @@ def extract_from_document(doc, base_url=None):
     # Iterative DOM walk (explicit frames): pathological documents nest
     # tens of thousands deep — the skew tail the north rule calls out —
     # and a recursive walk dies on Python's recursion limit there.
-    # frame: [element, next_child_idx, block, link_depth, in_article,
-    #         block_to_flush_on_exit]
+    # The frame tuple is unpacked once per descend/resume, not once per
+    # child (the walk is the second-hottest loop after the parse).
+    # frame: (element, next_child_idx, block, link_depth, in_article,
+    #         block_to_flush_on_exit)
     root = _Block("body", False)
-    frames = [[doc, 0, root, 0, False, None]]
-    while frames:
-        frame = frames[-1]
-        el, i, block, link_depth, in_article, exit_block = frame
+    stack = []
+    el, i, block, link_depth, in_article, exit_block = (
+        doc, 0, root, 0, False, None,
+    )
+    while True:
         kids = el.children
-        if i >= len(kids):
-            frames.pop()
-            if exit_block is not None:
-                flush(exit_block)
-            continue
-        frame[1] = i + 1
-        child = kids[i]
-        if isinstance(child, Text):
-            if block is not None:
-                block.pieces.append(child.data)
-                if link_depth > 0:
-                    block.link_chars += len(_norm(child.data))
-            continue
-        if not isinstance(child, Element):
-            continue
-        name = child.name
-        if child.namespace != HTML_NS:
-            # foreign islands: descend for any embedded HTML
-            # integration-point content, same block context
-            frames.append([child, 0, block, link_depth, in_article, None])
-            continue
-        if _is_pruned(child):
-            continue
-        if name in MEDIA_TAGS:
-            ref = _media_ref(child)
-            if ref:
-                if base and "://" not in ref and not ref.startswith("data:"):
-                    ref = urljoin(base, ref)
+        nk = len(kids)
+        descended = False
+        while i < nk:
+            child = kids[i]
+            i += 1
+            if child.__class__ is Text:
+                if block is not None:
+                    block.pieces.append(child.data)
+                    if link_depth:
+                        block.link_chars += len(_norm(child.data))
+                continue
+            if child.__class__ is not Element:
+                continue
+            name = child.name
+            if child.namespace != HTML_NS:
+                # foreign islands: descend for any embedded HTML
+                # integration-point content, same block context
+                stack.append((el, i, block, link_depth, in_article, exit_block))
+                el, i, exit_block = child, 0, None
+                descended = True
+                break
+            if _is_pruned(child):
+                continue
+            if name in MEDIA_TAGS:
+                ref = _media_ref(child)
+                if ref:
+                    if base and "://" not in ref and not ref.startswith("data:"):
+                        ref = urljoin(base, ref)
+                    flush(block)
+                    out.append(("media", _media_text(child), ref))
+                continue
+            if name == "title":
+                t = _Block("title", in_article)
+                stack.append((el, i, block, link_depth, in_article, exit_block))
+                el, i, block, link_depth, exit_block = child, 0, t, 0, t
+                descended = True
+                break
+            if name == "template":
+                continue  # inert content
+            art = in_article or name in ("article", "main")
+            if name in BLOCK_TAGS:
                 flush(block)
-                out.append(("media", _media_text(child), ref))
+                sub = _Block(name, art)
+                stack.append((el, i, block, link_depth, in_article, exit_block))
+                el, i, block, in_article, exit_block = child, 0, sub, art, sub
+                descended = True
+                break
+            stack.append((el, i, block, link_depth, in_article, exit_block))
+            el, i, in_article, exit_block = child, 0, art, None
+            if name == "a":
+                link_depth += 1
+            descended = True
+            break
+        if descended:
             continue
-        if name == "title":
-            t = _Block("title", in_article)
-            frames.append([child, 0, t, 0, in_article, t])
-            continue
-        if name == "template":
-            continue  # inert content
-        art = in_article or name in ("article", "main")
-        if name in BLOCK_TAGS:
-            flush(block)
-            sub = _Block(name, art)
-            frames.append([child, 0, sub, link_depth, art, sub])
-            continue
-        ld = link_depth + (1 if name == "a" else 0)
-        frames.append([child, 0, block, ld, art, None])
+        if exit_block is not None:
+            flush(exit_block)
+        if not stack:
+            break
+        el, i, block, link_depth, in_article, exit_block = stack.pop()
     flush(root)
     return out
 
@@ -244,10 +278,11 @@ def _count_nodes(node):
     while stack:
         cur = stack.pop()
         n += 1
-        stack.extend(cur.children)
-        tc = getattr(cur, "template_content", None)
-        if tc is not None:
-            stack.append(tc)
+        kids = cur.children
+        if kids:
+            stack.extend(kids)
+        if cur.__class__ is Element and cur.template_content is not None:
+            stack.append(cur.template_content)
     return n
 
 

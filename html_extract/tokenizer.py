@@ -76,12 +76,20 @@ RE_ATTRVAL_UQ = re.compile(r"[\t\n\x0c >&\x00\"'<=`]")
 RE_COMMENT = re.compile(r"[-<\x00]")
 RE_DOCTYPE_NAME_END = re.compile(r"[\t\n\x0c >\x00]")
 RE_ALPHA_RUN = re.compile(r"[A-Za-z]+")
+# Attribute-less tag fast path: `<name>` / `</name>` with the name run
+# ending directly at '>'.  Names with other characters (hyphens, NULs,
+# digits-after-hyphen etc.) fall through to the general scanner.
+RE_SIMPLE_TAG = re.compile(r"[A-Za-z][A-Za-z0-9]*>")
 
 EOF_TOK = ("EOF",)
 
 
 def ascii_lower(s: str) -> str:
-    return s.translate(_LOWER)
+    # fast path: tag/attr names are overwhelmingly already lowercase;
+    # str.islower is a C scan and skips the translate allocation
+    # (strings with no cased chars return False and take the no-op
+    # translate — correct either way)
+    return s if s.islower() else s.translate(_LOWER)
 
 
 def _text_tok(data: str):
@@ -127,10 +135,34 @@ class Tokenizer:
                     return
                 c = s[p]
                 if c == "<":
-                    for t in self._tag_open():
-                        yield t
-                        if t is EOF_TOK:
-                            return
+                    # inline fast paths for `<name>` / `</name>` (no
+                    # attrs, name run straight to '>') — the dominant
+                    # tag shapes; everything else takes _tag_open
+                    m = RE_SIMPLE_TAG.match(s, p + 1)
+                    if m is not None:
+                        q = m.end()
+                        self.p = q
+                        name = s[p + 1 : q - 1]
+                        if not name.islower():
+                            name = name.translate(_LOWER)
+                        self.last_start_tag = name
+                        yield ("StartTag", name, {}, False)
+                        continue
+                    if s[p + 1 : p + 2] == "/":
+                        m = RE_SIMPLE_TAG.match(s, p + 2)
+                        if m is not None:
+                            q = m.end()
+                            self.p = q
+                            name = s[p + 2 : q - 1]
+                            if not name.islower():
+                                name = name.translate(_LOWER)
+                            yield ("EndTag", name)
+                            continue
+                    # EOF_TOK, when emitted, is always last in the list
+                    toks = self._tag_open()
+                    yield from toks
+                    if toks and toks[-1] is EOF_TOK:
+                        return
                 elif c == "&":
                     self.p, text = self._charref(p, False)
                     yield _text_tok(text)
@@ -153,10 +185,10 @@ class Tokenizer:
                     self.p, text = self._charref(p, False)
                     yield _text_tok(text)
                 elif c == "<":
-                    for t in self._text_lt():
-                        yield t
-                        if t is EOF_TOK:
-                            return
+                    toks = self._text_lt()
+                    yield from toks
+                    if toks and toks[-1] is EOF_TOK:
+                        return
                 elif c == "\x00":
                     self._err("unexpected-null-character", p)
                     self.p = p + 1
@@ -172,10 +204,10 @@ class Tokenizer:
                     return
                 c = s[p]
                 if c == "<":
-                    for t in self._script_lt():
-                        yield t
-                        if t is EOF_TOK:
-                            return
+                    toks = self._script_lt()
+                    yield from toks
+                    if toks and toks[-1] is EOF_TOK:
+                        return
                 elif c == "\x00":
                     self._err("unexpected-null-character", p)
                     self.p = p + 1
@@ -222,6 +254,16 @@ class Tokenizer:
         if c == "/":
             return self._end_tag_open(p + 1)
         if c in _ALPHA:
+            m = RE_SIMPLE_TAG.match(s, p)
+            if m is not None:  # `<name>`: no attrs, back to data state
+                q = m.end()
+                self.p = q
+                self.state = DATA
+                name = s[p : q - 1]
+                if not name.islower():
+                    name = name.translate(_LOWER)
+                self.last_start_tag = name
+                return [("StartTag", name, {}, False)]
             return self._scan_tag(p, True)
         if c == "?":
             self._err("unexpected-question-mark-instead-of-tag-name", p)
@@ -238,6 +280,15 @@ class Tokenizer:
             return [("Character", "</"), EOF_TOK]
         c = s[p]
         if c in _ALPHA:
+            m = RE_SIMPLE_TAG.match(s, p)
+            if m is not None:  # `</name>`: back to data state
+                q = m.end()
+                self.p = q
+                self.state = DATA
+                name = s[p : q - 1]
+                if not name.islower():
+                    name = name.translate(_LOWER)
+                return [("EndTag", name)]
             return self._scan_tag(p, False)
         if c == ">":
             self._err("missing-end-tag-name", p)

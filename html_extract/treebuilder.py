@@ -115,29 +115,34 @@ class ElementStack(list):
     402 s for one 3.2 MB page.  Same motivation as the reference's
     cached stack properties (OpenElementsStack.php:323-349)."""
 
-    __slots__ = ("counts",)
+    __slots__ = ("counts", "n_foreign")
 
     def __init__(self, it=()):
         super().__init__(it)
         self.counts = {}
+        self.n_foreign = 0  # open elements NOT in the HTML namespace
         for el in self:
             self._inc(el)
 
     def _inc(self, el):
         el.on_stack = True
-        k = (el.namespace, el.name)
+        k = el.skey  # precomputed (namespace, name)
         c = self.counts
         c[k] = c.get(k, 0) + 1
+        if el.namespace != HTML_NS:
+            self.n_foreign += 1
 
     def _dec(self, el):
         el.on_stack = False
-        k = (el.namespace, el.name)
+        k = el.skey
         c = self.counts
         n = c.get(k, 0) - 1
         if n <= 0:
             c.pop(k, None)
         else:
             c[k] = n
+        if el.namespace != HTML_NS:
+            self.n_foreign -= 1
 
     def append(self, el):
         self._inc(el)
@@ -195,6 +200,8 @@ class TreeBuilder:
     ):
         self.tokenizer = tokenizer
         self.doc = document if document is not None else Document()
+        # maintained exactly by this builder (see _m_in_head <base>)
+        self.doc.has_base = False
         self.stack: ElementStack = ElementStack()
         self.afe: list = []  # AFEEntry | MARKER
         self.template_modes: list[int] = []
@@ -545,7 +552,11 @@ class TreeBuilder:
         if self._pending:
             self._pending = []
         # fast path: the overwhelmingly common single-dispatch case
-        if not self._dispatch_foreign(tok):
+        # (all-HTML stack check inlined from _dispatch_foreign)
+        st = self.stack
+        if (
+            not st or (not st.n_foreign and self.fragment_context is None)
+        ) or not self._dispatch_foreign(tok):
             kind = tok[0]
             if kind == "Null":
                 # data-state U+0000 (NullCharacterToken): error + ignore
@@ -572,6 +583,11 @@ class TreeBuilder:
     def _dispatch_foreign(self, tok):
         """True -> process via foreign content rules (spec dispatcher)."""
         if not self.stack:
+            return False
+        # O(1) fast path for the overwhelmingly common all-HTML stack:
+        # the adjusted current node can only be foreign if a foreign
+        # element is open (or the fragment context element is foreign)
+        if not self.stack.n_foreign and self.fragment_context is None:
             return False
         acn = self.adjusted_current
         if acn.namespace == HTML_NS:
@@ -999,6 +1015,12 @@ class TreeBuilder:
             if name in ("base", "basefont", "bgsound", "link", "meta"):
                 self._insert_html_element(name, tok[2])
                 self.stack.pop()
+                if name == "base":
+                    # every HTML <base> insertion flows through this
+                    # branch (in-body/in-template/after-head delegate
+                    # here) — flag it so extraction's base-href lookup
+                    # is O(1) for the no-base common case
+                    self.doc.has_base = True
                 if name == "meta" and self.on_meta is not None:
                     # mid-parse encoding change hook (E9; Data.php:301-376)
                     self.on_meta(tok[2])
@@ -1191,7 +1213,12 @@ class TreeBuilder:
 
     # -- in body (spec §13.2.6.4.7; TreeConstructor.php:384-1364) --------
     def _m_in_body(self, tok):
+        # dispatch ordered by measured token frequency (tag-dense corpus)
         kind = tok[0]
+        if kind == "StartTag":
+            return self._in_body_start(tok)
+        if kind == "EndTag":
+            return self._in_body_end(tok)
         if kind == "Space":
             self._reconstruct_afe()
             self._insert_text(tok[1])
@@ -1211,17 +1238,14 @@ class TreeBuilder:
         if kind == "Doctype":
             self._err("unexpected-doctype")
             return None
-        if kind == "EOF":
-            if self.template_modes:
-                return self._m_in_template(tok)
-            for el in self.stack:
-                if el.namespace == HTML_NS and el.name not in _OK_AT_EOF:
-                    self._err("expected-closing-tag-but-got-eof")
-                    break
-            return None
-        if kind == "StartTag":
-            return self._in_body_start(tok)
-        return self._in_body_end(tok)
+        # EOF
+        if self.template_modes:
+            return self._m_in_template(tok)
+        for el in self.stack:
+            if el.namespace == HTML_NS and el.name not in _OK_AT_EOF:
+                self._err("expected-closing-tag-but-got-eof")
+                break
+        return None
 
     def _in_body_start(self, tok):
         _, name, attrs, self_closing = tok
