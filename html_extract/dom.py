@@ -80,7 +80,9 @@ class Element(Node):
     )
 
     def __init__(self, name, namespace=HTML_NS, attrs=None):
-        super().__init__()
+        # Node.__init__ inlined (hot path: one Element per start tag)
+        self.parent = None
+        self.children = []
         self.name = name
         self.namespace = namespace
         self.skey = (namespace, name)  # precomputed scope-lookup key
@@ -108,7 +110,9 @@ class Text(Node):
     __slots__ = ("data",)
 
     def __init__(self, data):
-        super().__init__()
+        # Node.__init__ inlined (hot path: one Text per coalesced run)
+        self.parent = None
+        self.children = []
         self.data = data
 
 
@@ -116,7 +120,8 @@ class Comment(Node):
     __slots__ = ("data",)
 
     def __init__(self, data):
-        super().__init__()
+        self.parent = None
+        self.children = []
         self.data = data
 
 

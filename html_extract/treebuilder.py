@@ -145,12 +145,28 @@ class ElementStack(list):
             self.n_foreign -= 1
 
     def append(self, el):
-        self._inc(el)
-        super().append(el)
+        # _inc inlined (hottest stack op: one push per open tag)
+        el.on_stack = True
+        k = el.skey
+        c = self.counts
+        c[k] = c.get(k, 0) + 1
+        if el.namespace != HTML_NS:
+            self.n_foreign += 1
+        list.append(self, el)
 
     def pop(self, idx=-1):
-        el = super().pop(idx)
-        self._dec(el)
+        el = list.pop(self, idx)
+        # _dec inlined (hottest stack op: one pop per close tag)
+        el.on_stack = False
+        k = el.skey
+        c = self.counts
+        n = c.get(k, 0) - 1
+        if n <= 0:
+            c.pop(k, None)
+        else:
+            c[k] = n
+        if el.namespace != HTML_NS:
+            self.n_foreign -= 1
         return el
 
     def insert(self, i, el):
@@ -1249,6 +1265,67 @@ class TreeBuilder:
 
     def _in_body_start(self, tok):
         _, name, attrs, self_closing = tok
+        # Branches dispatch on mutually disjoint name sets, so ordering
+        # is semantics-free; ordered by measured corpus tag frequency
+        # (div/p > a > b/i > script/style/title > li > h1-h6).
+        if name in _BLOCK_START:
+            if self._in_scope("p", BUTTON_SCOPE):
+                self._close_p()
+            self._insert_html_element(name, attrs)
+            return None
+        if name == "a":
+            for entry in reversed(self.afe):
+                if entry is MARKER:
+                    break
+                if entry.name == "a":
+                    self._err("unexpected-start-tag-implies-end-tag")
+                    self._adoption_agency("a")
+                    if entry in self.afe:
+                        self.afe.remove(entry)
+                    if entry.element.on_stack:
+                        self.stack.remove(entry.element)
+                    break
+            self._reconstruct_afe()
+            el = self._insert_html_element(name, attrs)
+            self._push_afe(el, name, dict(attrs))
+            return None
+        if name in _FORMATTING_START:
+            self._reconstruct_afe()
+            el = self._insert_html_element(name, attrs)
+            self._push_afe(el, name, dict(attrs))
+            return None
+        if name in _IN_HEAD_DELEGATE:
+            return self._m_in_head(tok)
+        if name == "li":
+            self.frameset_ok = False
+            for el in reversed(self.stack):
+                if el.namespace == HTML_NS and el.name == "li":
+                    self._generate_implied(exclude="li")
+                    if not (
+                        self.current.namespace == HTML_NS
+                        and self.current.name == "li"
+                    ):
+                        self._err("unexpected-start-tag")
+                    self._pop_until("li")
+                    break
+                if self._is_special(el) and not (
+                    el.namespace == HTML_NS
+                    and el.name in ("address", "div", "p")
+                ):
+                    break
+            if self._in_scope("p", BUTTON_SCOPE):
+                self._close_p()
+            self._insert_html_element(name, attrs)
+            return None
+        if name in _HEADINGS:
+            if self._in_scope("p", BUTTON_SCOPE):
+                self._close_p()
+            cur = self.current
+            if cur.namespace == HTML_NS and cur.name in _HEADINGS:
+                self._err("unexpected-start-tag")
+                self.stack.pop()
+            self._insert_html_element(name, attrs)
+            return None
         if name == "html":
             self._err("unexpected-start-tag")
             if any(
@@ -1261,8 +1338,6 @@ class TreeBuilder:
                 if k not in top.attrs:
                     top.attrs[k] = v
             return None
-        if name in _IN_HEAD_DELEGATE:
-            return self._m_in_head(tok)
         if name == "body":
             self._err("unexpected-start-tag")
             if (
@@ -1299,20 +1374,6 @@ class TreeBuilder:
             self._insert_html_element("frameset", attrs)
             self.mode = IN_FRAMESET
             return None
-        if name in _BLOCK_START:
-            if self._in_scope("p", BUTTON_SCOPE):
-                self._close_p()
-            self._insert_html_element(name, attrs)
-            return None
-        if name in _HEADINGS:
-            if self._in_scope("p", BUTTON_SCOPE):
-                self._close_p()
-            cur = self.current
-            if cur.namespace == HTML_NS and cur.name in _HEADINGS:
-                self._err("unexpected-start-tag")
-                self.stack.pop()
-            self._insert_html_element(name, attrs)
-            return None
         if name in ("pre", "listing"):
             if self._in_scope("p", BUTTON_SCOPE):
                 self._close_p()
@@ -1333,27 +1394,6 @@ class TreeBuilder:
             el = self._insert_html_element(name, attrs)
             if not has_template:
                 self.form = el
-            return None
-        if name == "li":
-            self.frameset_ok = False
-            for el in reversed(self.stack):
-                if el.namespace == HTML_NS and el.name == "li":
-                    self._generate_implied(exclude="li")
-                    if not (
-                        self.current.namespace == HTML_NS
-                        and self.current.name == "li"
-                    ):
-                        self._err("unexpected-start-tag")
-                    self._pop_until("li")
-                    break
-                if self._is_special(el) and not (
-                    el.namespace == HTML_NS
-                    and el.name in ("address", "div", "p")
-                ):
-                    break
-            if self._in_scope("p", BUTTON_SCOPE):
-                self._close_p()
-            self._insert_html_element(name, attrs)
             return None
         if name in ("dd", "dt"):
             self.frameset_ok = False
@@ -1390,27 +1430,6 @@ class TreeBuilder:
             self._reconstruct_afe()
             self._insert_html_element(name, attrs)
             self.frameset_ok = False
-            return None
-        if name == "a":
-            for entry in reversed(self.afe):
-                if entry is MARKER:
-                    break
-                if entry.name == "a":
-                    self._err("unexpected-start-tag-implies-end-tag")
-                    self._adoption_agency("a")
-                    if entry in self.afe:
-                        self.afe.remove(entry)
-                    if entry.element.on_stack:
-                        self.stack.remove(entry.element)
-                    break
-            self._reconstruct_afe()
-            el = self._insert_html_element(name, attrs)
-            self._push_afe(el, name, dict(attrs))
-            return None
-        if name in _FORMATTING_START:
-            self._reconstruct_afe()
-            el = self._insert_html_element(name, attrs)
-            self._push_afe(el, name, dict(attrs))
             return None
         if name == "nobr":
             self._reconstruct_afe()
@@ -1591,6 +1610,52 @@ class TreeBuilder:
 
     def _in_body_end(self, tok):
         name = tok[1]
+        # Branches dispatch on mutually disjoint name sets, so ordering
+        # is semantics-free; ordered by measured corpus tag frequency.
+        if name in _BLOCK_END:
+            if not self._in_scope(name):
+                self._err("unexpected-end-tag")
+                return None
+            self._generate_implied()
+            if not (
+                self.current.namespace == HTML_NS and self.current.name == name
+            ):
+                self._err("end-tag-too-early")
+            self._pop_until(name)
+            return None
+        if name in FORMATTING_ELEMENTS:
+            if self._adoption_agency(name):
+                return self._any_other_end_tag(name)
+            return None
+        if name == "p":
+            if not self._in_scope("p", BUTTON_SCOPE):
+                self._err("unexpected-end-tag")
+                self._insert_html_element("p", {})
+            self._close_p()
+            return None
+        if name == "li":
+            if not self._in_scope("li", LIST_ITEM_SCOPE):
+                self._err("unexpected-end-tag")
+                return None
+            self._generate_implied(exclude="li")
+            if not (
+                self.current.namespace == HTML_NS
+                and self.current.name == "li"
+            ):
+                self._err("end-tag-too-early")
+            self._pop_until("li")
+            return None
+        if name in _HEADINGS:
+            if not self._in_scope(_HEADINGS):
+                self._err("unexpected-end-tag")
+                return None
+            self._generate_implied()
+            if not (
+                self.current.namespace == HTML_NS and self.current.name == name
+            ):
+                self._err("end-tag-too-early")
+            self._pop_until(_HEADINGS)
+            return None
         if name == "template":
             return self._m_in_head(tok)
         if name == "body":
@@ -1613,17 +1678,6 @@ class TreeBuilder:
                     break
             self.mode = AFTER_BODY
             return _REPROCESS
-        if name in _BLOCK_END:
-            if not self._in_scope(name):
-                self._err("unexpected-end-tag")
-                return None
-            self._generate_implied()
-            if not (
-                self.current.namespace == HTML_NS and self.current.name == name
-            ):
-                self._err("end-tag-too-early")
-            self._pop_until(name)
-            return None
         if name == "form":
             in_template = any(
                 el.namespace == HTML_NS and el.name == "template"
@@ -1651,24 +1705,6 @@ class TreeBuilder:
                 self._err("end-tag-too-early-ignored")
             self._pop_until("form")
             return None
-        if name == "p":
-            if not self._in_scope("p", BUTTON_SCOPE):
-                self._err("unexpected-end-tag")
-                self._insert_html_element("p", {})
-            self._close_p()
-            return None
-        if name == "li":
-            if not self._in_scope("li", LIST_ITEM_SCOPE):
-                self._err("unexpected-end-tag")
-                return None
-            self._generate_implied(exclude="li")
-            if not (
-                self.current.namespace == HTML_NS
-                and self.current.name == "li"
-            ):
-                self._err("end-tag-too-early")
-            self._pop_until("li")
-            return None
         if name in ("dd", "dt"):
             if not self._in_scope(name):
                 self._err("unexpected-end-tag")
@@ -1679,21 +1715,6 @@ class TreeBuilder:
             ):
                 self._err("end-tag-too-early")
             self._pop_until(name)
-            return None
-        if name in _HEADINGS:
-            if not self._in_scope(_HEADINGS):
-                self._err("unexpected-end-tag")
-                return None
-            self._generate_implied()
-            if not (
-                self.current.namespace == HTML_NS and self.current.name == name
-            ):
-                self._err("end-tag-too-early")
-            self._pop_until(_HEADINGS)
-            return None
-        if name in FORMATTING_ELEMENTS:
-            if self._adoption_agency(name):
-                return self._any_other_end_tag(name)
             return None
         if name in ("applet", "marquee", "object"):
             if not self._in_scope(name):
