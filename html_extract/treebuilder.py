@@ -579,7 +579,18 @@ class TreeBuilder:
                 # in every HTML insertion mode that can see one
                 self._err("unexpected-null-character")
                 return
-            if MODE_TABLE[self.mode](self, tok) is not _REPROCESS:
+            # IN_BODY start/end tags are the dominant case: dispatch
+            # straight to the handler, skipping the _m_in_body frame
+            if self.mode == IN_BODY:
+                if kind == "StartTag":
+                    if self._in_body_start(tok) is not _REPROCESS:
+                        return
+                elif kind == "EndTag":
+                    if self._in_body_end(tok) is not _REPROCESS:
+                        return
+                elif self._m_in_body(tok) is not _REPROCESS:
+                    return
+            elif MODE_TABLE[self.mode](self, tok) is not _REPROCESS:
                 return
         else:
             if self._foreign(tok) is not _REPROCESS:
