@@ -167,9 +167,14 @@ _BLOCK_ALWAYS = frozenset(
 # only when the candidate descendant set has more than one member
 _BLOCK_CONDITIONAL = frozenset(["button", "input", "output", "textarea"])
 # "real" block ancestors for inline text-run joining (the ancestor::
-# XPath in the Text branch, Serializer.php:398)
+# XPath in the Text branch, Serializer.php:397).  NOTE: the reference
+# XPath spells the body test `name="body"` (an attribute-value test,
+# not name()="body"), so body NEVER matches there; we reproduce that
+# behavior bug-for-bug by omitting body — text directly under body
+# joins runs under the nearest html ancestor, exactly as the
+# reference does.
 _REAL_BLOCK = frozenset(
-    """address article aside blockquote body canvas dd div dl dt fieldset
+    """address article aside blockquote canvas dd div dl dt fieldset
     figcaption figure footer form h1 h2 h3 h4 h5 h6 head header hr html li
     main nav ol p section table tfoot ul video""".split()
 )
@@ -205,11 +210,15 @@ class _Pretty:
     def treat_as_block(self, node) -> bool:
         """BLOCK_QUERY port (Serializer.php:56, treatAsBlock :617-638):
         a node is treated as block when it HAS a block-named descendant
-        (HTML namespace, not under a preformatted element); the
-        conditional names only count when the whole candidate set has
-        more than one member.  Template contents are scanned too
-        (treatAsBlockWithTemplates — the reference PHP DOM stores them
-        as regular children)."""
+        (HTML namespace, not under a preformatted element).  In the
+        reference XPath `.//*[ns][not-preformatted][name-pred][1]` the
+        `not(last() = 1)` predicate on button/input/output/textarea is
+        evaluated per child-axis step: `last()` is the number of
+        HTML-namespace element children of THAT parent, so a
+        conditional name counts as block only when its own parent has
+        more than one qualifying element child.  Template contents are
+        scanned too (treatAsBlockWithTemplates — the reference PHP DOM
+        stores them as regular children)."""
         if isinstance(node, (Document, DocumentFragment)):
             return True
         if not isinstance(node, Element):
@@ -222,23 +231,29 @@ class _Pretty:
         memo = self._block_memo
         if key in memo:
             return memo[key]
-        n_qual = 0
-        has_always = has_cond = False
-        stack = list(self._kids(node))
-        while stack:
-            el = stack.pop()
-            if not isinstance(el, Element):
-                continue
-            if el.namespace == HTML_NS:
-                n_qual += 1
-                if el.name in _BLOCK_ALWAYS:
-                    has_always = True
-                elif el.name in _BLOCK_CONDITIONAL:
-                    has_cond = True
-                if el.name in PREFORMATTED_ELEMENTS:
-                    continue  # ancestor::pre-style exclusion
-            stack.extend(self._kids(el))
-        res = has_always or (has_cond and n_qual != 1)
+        res = False
+        # stack of sibling lists (child-axis steps), scanned per parent
+        # so the conditional-name context size is that parent's own
+        # HTML-ns element-child count
+        stack = [self._kids(node)]
+        while stack and not res:
+            kids = stack.pop()
+            n_ns = 0
+            for el in kids:
+                if isinstance(el, Element) and el.namespace == HTML_NS:
+                    n_ns += 1
+            for el in kids:
+                if not isinstance(el, Element):
+                    continue
+                if el.namespace == HTML_NS:
+                    if el.name in _BLOCK_ALWAYS or (
+                        el.name in _BLOCK_CONDITIONAL and n_ns != 1
+                    ):
+                        res = True
+                        break
+                    if el.name in PREFORMATTED_ELEMENTS:
+                        continue  # ancestor::pre-style exclusion
+                stack.append(self._kids(el))
         memo[key] = res
         return res
 

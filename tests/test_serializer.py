@@ -365,3 +365,51 @@ def test_pretty_print_default_path_unchanged():
     assert serialize(doc) == (
         "<html><head></head><body><p> a  <b> b </b></p></body></html>"
     )
+
+
+def test_pretty_print_conditional_block_per_parent():
+    """BLOCK_QUERY's not(last()=1) predicate is per child-axis step
+    (Serializer.php:56): a conditional name (button/input/output/
+    textarea) counts as block only when its OWN parent has more than
+    one HTML-ns element child, not when the whole descendant set
+    does."""
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    def doc(src):
+        return serialize(
+            parse(src).document,
+            reformat_whitespace=True,
+            foreign_void_end_tags=False,
+        )
+
+    # input's parent <b> has exactly one qualifying child -> span stays
+    # inline even though the span subtree has two elements overall
+    assert doc("<span><b><input></b><i>x</i></span>") == (
+        "<html>\n <head></head>\n\n"
+        " <body><span><b><input></b><i>x</i></span></body>\n</html>"
+    )
+    # two inputs under one parent -> conditional qualifies -> block
+    assert doc("<span><b><input><input></b></span>") == (
+        "<html>\n <head></head>\n\n <body>\n  <span>\n   <b>\n"
+        "    <input>\n    <input>\n   </b>\n  </span>\n </body>\n</html>"
+    )
+
+
+def test_pretty_print_body_not_real_block_ancestor():
+    """The reference's inline text-run ancestor XPath spells the body
+    test `name="body"` (attribute test, Serializer.php:397), so body
+    never anchors a text run; text directly under body joins runs
+    under the html ancestor.  Reproduced bug-for-bug."""
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    out = serialize(
+        parse("<body>leading <b>bold</b> trailing").document,
+        reformat_whitespace=True,
+        foreign_void_end_tags=False,
+    )
+    assert out == (
+        "<html>\n <head></head>\n\n"
+        " <body>leading <b>bold</b> trailing</body>\n</html>"
+    )
