@@ -135,6 +135,39 @@ def test_bytes_input_never_raises(prefix, body):
     assert out.encoding
 
 
+# Tokenizer-state-seeded inputs: raw-text-ish payloads (partial closers,
+# comment openers, entities, CR/LF/NUL) interleaved with tag soup, fed
+# into the fragment contexts that seed non-DATA tokenizer states
+# (RCDATA/RAWTEXT/script/plaintext) and special insertion modes.
+_raw_payload = st.sampled_from(
+    ["</title>", "</TITLE >", "</textarea x>", "</style", "</scr",
+     "</script >", "<!--", "-->", "<!--<script>", "&amp;", "&notin;",
+     "&not", "\r\n", "\x00", "]]>", "<b>", "</p>", "x</", "=", "'",
+     '"', " ", "</plaintext>", "</xmp>"]
+)
+_rawtext_html = st.lists(
+    st.one_of(_soup, _tags, _raw_payload), max_size=30
+).map("".join)
+_state_contexts = st.sampled_from(
+    "title textarea style script plaintext xmp iframe noembed noframes "
+    "noscript select option table tr td caption colgroup template html "
+    "body head frameset p b form button li dd ruby".split()
+)
+
+
+@settings(**_SETTINGS)
+@given(_state_contexts, _rawtext_html)
+def test_state_seeded_fragments_never_raise(context, src):
+    # fragment contexts seed the tokenizer in RCDATA/RAWTEXT/script-data
+    # (spec fragment-parsing step 2); payloads full of partial closing
+    # tags and comment openers probe those state machines' edge arcs
+    from html_extract.parser import parse_fragment
+    from html_extract.serializer import serialize_inner
+
+    frag = parse_fragment(context, src)
+    serialize_inner(frag)
+
+
 def _text_tokens(doc):
     from html_extract.dom import Document, Element, Text
 
