@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": D.top_parts_by_quantity,
         "events_hourly": D.events_hourly,
         "orders_by_nation": D.orders_by_nation,
+        "last_order_asof": D.last_order_asof,
+        "repetition_signals": D.repetition_signals,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -211,6 +213,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "last_order_asof": """
+            SELECT event_id, user_id, last_order_key, last_order_date
+            FROM (
+                SELECT e.event_id, e.user_id,
+                       o.o_orderkey AS last_order_key,
+                       strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            WHERE rn = 1
+        """,
+        "repetition_signals": """
+            WITH lg AS (
+                SELECT doc_id, count(*) AS cnt, length(line) AS len
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line
+                      FROM documents)
+                GROUP BY doc_id, line
+            ), ld AS (
+                SELECT doc_id,
+                       sum(cnt * len) AS total_chars,
+                       sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)
+                           AS dup_chars
+                FROM lg GROUP BY doc_id
+            ), wg AS (
+                SELECT doc_id, count(*) AS cnt
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\\S+')) AS word
+                      FROM documents)
+                GROUP BY doc_id, word
+            ), wd AS (
+                SELECT doc_id, max(cnt) AS max_cnt, sum(cnt) AS n_words
+                FROM wg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN ld.total_chars > 0
+                        THEN CAST(ld.dup_chars AS DOUBLE) / ld.total_chars
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN wd.n_words > 0
+                        THEN CAST(wd.max_cnt AS DOUBLE) / wd.n_words
+                        ELSE 0.0 END AS top_word_frac
+            FROM documents d
+            LEFT JOIN ld ON d.doc_id = ld.doc_id
+            LEFT JOIN wd ON d.doc_id = wd.doc_id
         """,
         "stopword_counts": """
             SELECT doc_id,

@@ -2031,3 +2031,208 @@ def ann_topk_ivf(
     return res.sort_values(
         ["query_id", "rank"], ignore_index=True
     ).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_tiebreak=(),
+    num_partitions=None,
+) -> rd.Dataset:
+    """Distributed as-of join — for every left row, the single right row
+    with the greatest ``right_on`` value <= ``left_on`` among rows whose
+    ``right_by`` equals the left row's ``left_by`` (backward direction,
+    the common "latest fact before this event" lookup).  Ray Data has
+    no native as-of join; this is the documented composition: tag both
+    sides, hash-co-locate them on the by-key with one shuffle, then ONE
+    vectorized ``pd.merge_asof`` per partition.
+
+    Determinism: when several right rows tie on ``right_on``, the winner
+    is the row with the greatest ``right_tiebreak`` values (the right
+    side is sorted by [right_on, *right_tiebreak] with a stable sort, so
+    backward as-of picks the last).  Callers that surface right-side
+    payload columns should pass a unique tiebreak column — otherwise
+    the tie winner would depend on block arrival order.
+
+    Partitioning assumption (same as ``_hash_join``): non-key column
+    names must not collide across sides; skew on the by-key concentrates
+    in single partitions — acceptable while every by-group fits a
+    worker, which holds for per-user/per-entity history tables."""
+    P = _num_partitions(num_partitions)
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column names overlap across sides: {overlap}")
+    all_cols = lcols + rcols
+    # padding the absent side with TYPED nulls (not pa.nulls' null type)
+    # keeps every shuffled block on the real schema, so a partition
+    # holding only one side still converts to correctly-typed (empty)
+    # pandas frames that merge_asof accepts
+    types = {c: _pa_type(t) for c, t in zip(lsch.names, lsch.types)}
+    types.update({c: _pa_type(t) for c, t in zip(rsch.names, rsch.types)})
+
+    def prep(side, by_col):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                cols[c] = (
+                    t[c]
+                    if c in t.column_names
+                    else pa.nulls(n, type=types[c])
+                )
+            key_df = pd.DataFrame({by_col: t[by_col].to_pandas()})
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["_part"] = pa.array(_hash_mod(key_df, [by_col], P), pa.int32())
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(prep(0, left_by), batch_format="pyarrow").union(
+        right.map_batches(prep(1, right_by), batch_format="pyarrow")
+    )
+    tiebreak = list(right_tiebreak)
+
+    def join_part(t: pa.Table) -> pd.DataFrame:
+        # split sides at the Arrow level (see _hash_join: a whole-group
+        # pandas conversion would let one side's null padding upcast the
+        # other side's int64 ids to float64)
+        lft = t.filter(pc.equal(t["_side"], 0)).select(lcols).to_pandas()
+        rgt = t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas()
+        lft = lft.sort_values(left_on, kind="mergesort", ignore_index=True)
+        rgt = rgt.sort_values(
+            [right_on, *tiebreak], kind="mergesort", ignore_index=True
+        )
+        return pd.merge_asof(
+            lft,
+            rgt,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+
+    return tagged.groupby("_part").map_groups(join_part, batch_format="pyarrow")
+
+
+def last_order_asof(sf_dir, num_partitions=None) -> rd.Dataset:
+    """For every event, the latest order the same user placed at or
+    before the event time (inner as-of semantics: events with no prior
+    order are dropped).  Ties on order date break to the greatest
+    o_orderkey, so the result is deterministic and matches the windowed
+    row_number() oracle exactly."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    j = asof_join(
+        ev,
+        od,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_tiebreak=["o_orderkey"],
+        num_partitions=num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's sort-based groupby can emit zero-row zero-COLUMN blocks
+        # for empty key ranges (see _coerce) — treat those as empty
+        if "o_orderkey" in df.columns:
+            df = df[df["o_orderkey"].notna()]
+        else:
+            df = df.iloc[0:0]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "last_order_key": pd.Series(dtype="int64"),
+                    "last_order_date": pd.Series(dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "last_order_key": df["o_orderkey"].astype("int64"),
+                "last_order_date": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics)
+
+
+def repetition_signals(sf_dir) -> rd.Dataset:
+    """Per-document repetition heuristics in the Gopher quality-filter
+    family (Rae et al. 2021 §A1.1): the fraction of characters inside
+    duplicated lines and the fraction of words taken by the single most
+    frequent word.  Highly repetitive boilerplate (nav bars, SEO spam,
+    log dumps) scores high on both and gets culled before training.
+
+    Map-only: each batch splits/explodes its own documents (a document
+    never spans batches), so the kernel is pure vectorized pandas with
+    no shuffle — scales embarrassingly.  Semantics pinned to the DuckDB
+    oracle: lines = literal split on \\n (empty text -> one empty
+    line), words = \\S+ runs, fractions are exact-int divisions with
+    0.0 for empty denominators."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"dup_line_frac": 0.0, "top_word_frac": 0.0},
+            index=pd.Index(df["doc_id"], name="doc_id"),
+        )
+
+        lines = df[["doc_id"]].copy()
+        lines["line"] = df["text"].str.split("\n")
+        ex = lines.explode("line", ignore_index=True)
+        ex["len"] = ex["line"].str.len().astype("int64")
+        g = (
+            ex.groupby(["doc_id", "line"], sort=False)["len"]
+            .agg(cnt="size", ln="first")
+            .reset_index()
+        )
+        g["chars"] = g["cnt"] * g["ln"]
+        total = g.groupby("doc_id", sort=False)["chars"].sum()
+        dup = (
+            g[g["cnt"] > 1].groupby("doc_id", sort=False)["chars"].sum()
+        )
+        nz = total[total > 0]
+        out.loc[nz.index, "dup_line_frac"] = (
+            dup.reindex(nz.index, fill_value=0).to_numpy(dtype=np.float64)
+            / nz.to_numpy(dtype=np.float64)
+        )
+
+        words = df[["doc_id"]].copy()
+        words["word"] = df["text"].str.findall(_TOKEN_RE)
+        wex = words.explode("word", ignore_index=True)
+        wg = (
+            wex.groupby(["doc_id", "word"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        wd = wg.groupby("doc_id", sort=False)["cnt"].agg(
+            max_cnt="max", n_words="sum"
+        )
+        out.loc[wd.index, "top_word_frac"] = wd["max_cnt"].to_numpy(
+            dtype=np.float64
+        ) / wd["n_words"].to_numpy(dtype=np.float64)
+
+        return out.reset_index()
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -888,3 +888,145 @@ def test_embedding_near_dups_matches_exact_pairs_at_driver_config():
     )
     assert list(zip(got["a"], got["b"])) == want
     assert len(want) > 0  # non-vacuous on the test corpus
+
+
+def test_last_order_asof_matches_bruteforce():
+    """As-of join (events <- orders): every event pairs with the user's
+    latest order at-or-before the event time, ties on date broken to
+    the greatest orderkey; events with no prior order are dropped."""
+    from html_extract import dataops as D
+
+    got = (
+        D.last_order_asof(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    od = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    j = ev.merge(od, left_on="user_id", right_on="o_custkey")
+    j = j[j["o_orderdate"] <= j["ts"]]
+    j = (
+        j.sort_values(["o_orderdate", "o_orderkey"])
+        .groupby("event_id")
+        .last()
+        .reset_index()
+    )
+    want = pd.DataFrame(
+        {
+            "event_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "last_order_key": j["o_orderkey"].astype("int64"),
+            "last_order_date": j["o_orderdate"].dt.strftime("%Y-%m-%d"),
+        }
+    ).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_asof_join_tie_break_and_no_prior_match(tmp_path):
+    """Planted edge cases: two orders on the SAME date (max orderkey
+    must win deterministically), an event before any order (dropped),
+    and a user with orders but no events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from html_extract import dataops as D
+
+    ts = pd.Timestamp("2024-06-01")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([7, 7, 8], pa.int64()),
+                "ts": pa.array(
+                    [ts, ts - pd.Timedelta(days=400), ts],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "o_custkey": pa.array([7, 7, 9, 8], pa.int64()),
+                "o_orderdate": pa.array(
+                    [
+                        pd.Timestamp("2024-01-15"),
+                        pd.Timestamp("2024-01-15"),  # tie with key 10
+                        pd.Timestamp("2024-01-20"),
+                        pd.Timestamp("2024-07-01"),  # after user 8's event
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = (
+        D.last_order_asof(str(tmp_path), num_partitions=16)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    # event 2 predates every order; user 8's only order is later -> both drop
+    assert got["event_id"].tolist() == [1]
+    assert got["last_order_key"].tolist() == [11]  # max key among the tie
+    assert got["last_order_date"].tolist() == ["2024-01-15"]
+
+
+def test_repetition_signals_planted(tmp_path):
+    """Hand-computable docs pin the two fractions exactly."""
+    from html_extract import dataops as D
+
+    _write_docs(
+        tmp_path,
+        [1, 2, 3, 4],
+        [
+            "ab\nab\ncd",          # dup lines 'ab'x2 = 4 of 6 chars
+            "x y z",               # no repetition at all
+            "",                    # empty -> both fractions 0.0
+            "w w w w",             # one word, 4 of 4 occurrences
+        ],
+    )
+    got = (
+        D.repetition_signals(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "dup_line_frac"] == pytest.approx(4 / 6)
+    assert got.loc[1, "top_word_frac"] == pytest.approx(2 / 3)  # 'ab' twice of 3 words
+    assert got.loc[2, "dup_line_frac"] == 0.0
+    assert got.loc[2, "top_word_frac"] == pytest.approx(1 / 3)
+    assert got.loc[3, "dup_line_frac"] == 0.0
+    assert got.loc[3, "top_word_frac"] == 0.0
+    assert got.loc[4, "top_word_frac"] == 1.0
+
+
+def test_repetition_signals_matches_bruteforce():
+    """Vectorized explode kernel == per-doc Counter brute force."""
+    from collections import Counter
+
+    from html_extract import dataops as D
+
+    got = (
+        D.repetition_signals(SF).to_pandas().set_index("doc_id").sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        lines = Counter(text.split("\n"))
+        tot = sum(len(l) * c for l, c in lines.items())
+        dup = sum(len(l) * c for l, c in lines.items() if c > 1)
+        words = Counter(D._TOKEN_RE.findall(text))
+        nw = sum(words.values())
+        assert got.loc[did, "dup_line_frac"] == pytest.approx(
+            dup / tot if tot else 0.0, abs=1e-12
+        )
+        assert got.loc[did, "top_word_frac"] == pytest.approx(
+            max(words.values()) / nw if nw else 0.0, abs=1e-12
+        )
