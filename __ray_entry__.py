@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": D.orders_by_nation,
         "last_order_asof": D.last_order_asof,
         "repetition_signals": D.repetition_signals,
+        "top_docs_per_lang": D.top_docs_per_lang,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -228,6 +229,16 @@ def oracle_sql() -> dict[str, str]:
                 JOIN orders o
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
             WHERE rn = 1
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+                SELECT lang, doc_id, n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS BIGINT) AS rank
+                FROM documents)
+            WHERE rank <= 5
         """,
         "repetition_signals": """
             WITH lg AS (

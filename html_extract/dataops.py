@@ -2236,3 +2236,36 @@ def repetition_signals(sf_dir) -> rd.Dataset:
         return out.reset_index()
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k
+
+
+def top_docs_per_lang(sf_dir, k: int = 5, num_partitions=None) -> rd.Dataset:
+    """Top-k longest documents per language — the per-group top-k
+    pattern (corpus QA: eyeball the largest docs in every language
+    bucket).  Each batch first cuts itself to its own per-group top-k,
+    so the shuffle moves at most P·k rows per group instead of the
+    whole table; the keyed combine then ranks the survivors.  Ties on
+    n_chars break to the smaller doc_id, matching the row_number()
+    oracle deterministically."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    order = dict(
+        by=["lang", "n_chars", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(**order).groupby("lang", sort=False).head(k)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(**order)
+        top = g.groupby("lang", sort=False).head(k).copy()
+        top["rank"] = (top.groupby("lang", sort=False).cumcount() + 1).astype(
+            "int64"
+        )
+        return top[["lang", "doc_id", "n_chars", "rank"]]
+
+    return _keyed_agg(ds, partial, combine, ["lang"], num_partitions)

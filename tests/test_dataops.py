@@ -1030,3 +1030,31 @@ def test_repetition_signals_matches_bruteforce():
         assert got.loc[did, "top_word_frac"] == pytest.approx(
             max(words.values()) / nw if nw else 0.0, abs=1e-12
         )
+
+
+def test_top_docs_per_lang_matches_bruteforce():
+    """Per-group top-k: per-batch partial cut + keyed combine must
+    equal a global sort, ties on n_chars broken to the smaller doc_id."""
+    from html_extract import dataops as D
+
+    got = (
+        D.top_docs_per_lang(SF, k=5)
+        .to_pandas()
+        .sort_values(["lang", "rank"], ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    want = docs.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    want = want.groupby("lang", sort=False).head(5).copy()
+    want["rank"] = (want.groupby("lang", sort=False).cumcount() + 1).astype(
+        "int64"
+    )
+    want = want[["lang", "doc_id", "n_chars", "rank"]].sort_values(
+        ["lang", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("lang")["rank"].max() <= 5).all()
+    assert got["lang"].nunique() > 1
