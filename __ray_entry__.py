@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_order_asof": D.last_order_asof,
         "repetition_signals": D.repetition_signals,
         "top_docs_per_lang": D.top_docs_per_lang,
+        "top_bigrams": D.top_bigrams,
+        "segment_dedup": D.segment_dedup,
+        "props_key_stats": D.props_key_stats,
+        "tfidf_top_terms": D.tfidf_top_terms,
+        "chars_percentiles": D.chars_percentiles,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -326,5 +331,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.40
+        """,
+        "top_bigrams": """
+            WITH w AS (SELECT regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            b AS (SELECT unnest(list_slice(ws, 1, greatest(len(ws) - 1, 0)))
+                             AS w1,
+                         unnest(list_slice(ws, 2, len(ws))) AS w2
+                  FROM w)
+            SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+        """,
+        "segment_dedup": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            e AS (SELECT doc_id,
+                         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+                             AS si,
+                         ws
+                  FROM w),
+            s AS (SELECT doc_id, CAST(si AS BIGINT) AS seg_idx,
+                         array_to_string(
+                             list_slice(ws, si * 10 + 1,
+                                        least((si + 1) * 10, len(ws))),
+                             ' ') AS segment
+                  FROM e)
+            SELECT doc_id, seg_idx, segment FROM (
+                SELECT doc_id, seg_idx, segment,
+                       row_number() OVER (
+                           PARTITION BY segment
+                           ORDER BY doc_id, seg_idx) AS rn
+                FROM s) WHERE rn = 1
+        """,
+        "props_key_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tok GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents)
+            SELECT doc_id, term, tf, df FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf * ln(n.nn / df.df), 6) DESC,
+                                    tf.term) AS rn
+                FROM tf JOIN df USING (term), n
+            ) WHERE rn = 1
+        """,
+        "chars_percentiles": """
+            WITH c AS (SELECT n_chars AS v, count(*) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cs FROM c),
+            ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+            SELECT CAST(ps.p AS BIGINT) AS p, CAST(min(cum.v) AS BIGINT) AS value
+            FROM ps, cum, t
+            WHERE cum.cs >= CAST(ceil(ps.p * t.tot / 100.0) AS BIGINT)
+            GROUP BY ps.p
         """,
     }

@@ -2269,3 +2269,225 @@ def top_docs_per_lang(sf_dir, k: int = 5, num_partitions=None) -> rd.Dataset:
         return top[["lang", "doc_id", "n_chars", "rank"]]
 
     return _keyed_agg(ds, partial, combine, ["lang"], num_partitions)
+
+
+def top_bigrams(sf_dir, k: int = 50, num_partitions=None) -> pd.DataFrame:
+    """Global top-k word-bigram counts — the n-gram-statistics stage a
+    corpus-mixing pipeline runs before choosing filter thresholds.
+
+    Scale shape mirrors `word_frequencies`: the bigram alphabet is
+    produced and partially counted INSIDE each batch (flat numpy join
+    of adjacent tokens, document boundaries masked out), combined per
+    bigram-hash partition, and only P*k candidate rows ever reach the
+    driver."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(r"\S+")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return pd.DataFrame(
+                {"bigram": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        pairs = flat[:-1] + " " + flat[1:]
+        # mask the seam between consecutive documents: the last token
+        # of doc i must not pair with the first token of doc i+1
+        keep = np.ones(flat.size - 1, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        seams = ends[(ends >= 0) & (ends < flat.size - 1)]
+        keep[seams] = False
+        g = pd.Series(pairs[keep]).value_counts().reset_index()
+        g.columns = ["bigram", "n"]
+        return g
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["n", "bigram"], ascending=[False, True])
+        return g.head(k)
+
+    cand = _keyed_agg(ds, partial, combine_topk, ["bigram"], num_partitions)
+    agg = cand.to_pandas()
+    if "bigram" not in agg.columns:  # empty corpus
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    agg = agg.sort_values(
+        ["n", "bigram"], ascending=[False, True], ignore_index=True
+    )
+    return agg.head(k).astype({"n": "int64"})
+
+
+def segment_dedup(sf_dir, seg_words: int = 10, num_partitions=None) -> rd.Dataset:
+    """Chunk-level exact dedup: split every document into fixed-size
+    word segments and keep each distinct segment only at its
+    corpus-wide first occurrence (min ``(doc_id, seg_idx)``) — the
+    segment-granular sibling of `exact_dedup`, used to strip
+    boilerplate chunks that recur across documents.
+
+    Scale shape: segments are minted inside each batch (a document is
+    one row, so chunking never crosses batches), then ONE shuffle by
+    segment hash co-locates all occurrences; each partition elects its
+    winners vectorized.  No driver-side state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = int(seg_words)
+
+    def to_segments(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(r"\S+")
+        ex = words.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "seg_idx": pd.Series(dtype="int64"),
+                 "segment": pd.Series(dtype=object)}
+            )
+        pos = ex.groupby(level=0).cumcount().to_numpy() // W
+        out = (
+            pd.DataFrame(
+                {"doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                 "seg_idx": pos, "segment": ex.to_numpy()}
+            )
+            .groupby(["doc_id", "seg_idx"], as_index=False, sort=False)
+            .agg(segment=("segment", " ".join))
+        )
+        out["seg_idx"] = out["seg_idx"].astype("int64")
+        return out
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["segment", "doc_id", "seg_idx"], kind="mergesort"
+        )
+        return g.groupby("segment", sort=False, as_index=False).head(1)[
+            ["doc_id", "seg_idx", "segment"]
+        ]
+
+    segs = ds.map_batches(to_segments, batch_format="pandas")
+    return _partition_apply(segs, ["segment"], winners, num_partitions)
+
+
+def props_key_stats(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Per-event-type stats over a field EXTRACTED from the semi-
+    structured ``props`` JSON payload — the schema-on-read pattern
+    (regex field pull, no JSON parser in the hot path).
+
+    Scale shape: vectorized extract + per-batch partial aggregation;
+    the combine is a tree over event_type (tiny cardinality), so no
+    shuffle at all."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .fillna("0")
+            .astype("int64")
+        )
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "k": k})
+            .groupby("event_type", as_index=False)
+            .agg(n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        )
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max")
+        )
+        for c in ("n_events", "sum_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return _tree_agg(ds, partial, combine)
+
+
+def tfidf_top_terms(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Per-document most-distinctive term by tf-idf
+    (``tf * ln(N / df)``, ties to the lexicographically smallest
+    term) — the summarization/keyword stage of a corpus QA pipeline.
+
+    Scale shape: term frequencies are exact per batch (a document
+    never spans batches); document frequencies are a word-hash keyed
+    combine (`word_frequencies` shape, vocabulary never funnels
+    through one task); the tf->df attach is a co-partitioned merge on
+    the SAME term-hash partitioning (no broadcast of the vocabulary),
+    and the final per-doc argmax is one more keyed pass by doc hash.
+    Scores round to 6 decimals on both sides of the oracle so the
+    float ranking is reproducible across engines."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(_path(sf_dir, "documents")).metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].str.findall(r"\S+").explode().dropna()
+        g = (
+            ex.groupby([ex.index, ex.to_numpy()])
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        g.columns = ["doc_id", "term", "tf"]
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a term are co-located: df = distinct docs here
+        g = g.copy()
+        g["df"] = g.groupby("term")["doc_id"].transform("nunique").astype("int64")
+        return g
+
+    scored = _partition_apply(tf, ["term"], attach_df, num_partitions)
+
+    def argmax_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        score = np.round(
+            g["tf"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / g["df"].to_numpy(dtype=np.float64)),
+            6,
+        )
+        g = g.assign(_s=score).sort_values(
+            ["doc_id", "_s", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.groupby("doc_id", sort=False, as_index=False).head(1)
+        return top[["doc_id", "term", "tf", "df"]]
+
+    return _partition_apply(scored, ["doc_id"], argmax_per_doc, num_partitions)
+
+
+def chars_percentiles(sf_dir, pcts=(25, 50, 75, 90, 99)) -> pd.DataFrame:
+    """EXACT distributed percentiles of document length via a value
+    histogram: ``n_chars`` has bounded cardinality, so a keyed count
+    per value is tiny no matter how many documents exist; the driver
+    only ever holds (distinct values) rows and does the cumsum.  The
+    percentile-p value is the smallest v whose cumulative count
+    reaches ``ceil(p/100 * total)`` (inclusive-rank definition, same
+    formula in the DuckDB oracle)."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["n_chars"].value_counts().reset_index()
+        g.columns = ["v", "n"]
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", as_index=False).agg(n=("n", "sum"))
+        return g
+
+    hist = _keyed_agg(ds, partial, combine, ["v"]).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="int64")})
+    hist = hist.sort_values("v", ignore_index=True)
+    cs = hist["n"].cumsum().to_numpy()
+    total = int(cs[-1])
+    vals = hist["v"].to_numpy()
+    out = []
+    for p in pcts:
+        rank = -(-p * total // 100)  # ceil(p*total/100) in ints
+        out.append((int(p), int(vals[np.searchsorted(cs, rank)])))
+    return pd.DataFrame(out, columns=["p", "value"]).astype(
+        {"p": "int64", "value": "int64"}
+    )

@@ -1058,3 +1058,158 @@ def test_top_docs_per_lang_matches_bruteforce():
     pd.testing.assert_frame_equal(got, want)
     assert (got.groupby("lang")["rank"].max() <= 5).all()
     assert got["lang"].nunique() > 1
+
+
+def test_top_bigrams_matches_bruteforce():
+    """Distributed bigram top-k == a single-frame pandas reference
+    (same tokenization, same (n desc, bigram asc) tie-break)."""
+    from html_extract import dataops as D
+
+    got = D.top_bigrams(SF, k=50).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    pairs = []
+    for t in docs["text"]:
+        ws = t.split()
+        pairs.extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = pd.Series(pairs).value_counts().reset_index()
+    want.columns = ["bigram", "n"]
+    want = want.sort_values(
+        ["n", "bigram"], ascending=[False, True], ignore_index=True
+    ).head(50).astype({"n": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_top_bigrams_no_cross_document_seam(tmp_path):
+    """The last token of one document must never pair with the first
+    token of the next document in the same batch."""
+    from html_extract import dataops as D
+
+    _write_docs(tmp_path, [1, 2, 3], ["a b", "c d", "a b"])
+    got = D.top_bigrams(str(tmp_path), k=10)
+    assert dict(zip(got["bigram"], got["n"])) == {"a b": 2, "c d": 1}
+
+
+def test_segment_dedup_first_occurrence_wins(tmp_path):
+    """A segment repeated across documents survives only at its
+    corpus-wide first (doc_id, seg_idx); chunking is exact 10-word
+    windows with a short tail."""
+    from html_extract import dataops as D
+
+    boiler = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # exactly one segment
+    _write_docs(
+        tmp_path,
+        [1, 2, 3],
+        [boiler + " tail one", boiler, "fresh text only"],
+    )
+    got = (
+        D.segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "seg_idx"], ignore_index=True)
+    )
+    # doc 1: boiler (seg 0) + "tail one" (seg 1); doc 2's boiler copy
+    # is dropped; doc 3 keeps its only segment
+    want = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 3],
+            "seg_idx": [0, 1, 0],
+            "segment": [boiler, "tail one", "fresh text only"],
+        }
+    ).astype({"doc_id": "int64", "seg_idx": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_segment_dedup_sf_matches_duckdb_shape():
+    """At corpus scale: winners are distinct segments, and every
+    segment in the corpus appears exactly once."""
+    from html_extract import dataops as D
+
+    got = D.segment_dedup(SF).to_pandas()
+    assert got["segment"].is_unique
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    segs = set()
+    for t in docs["text"]:
+        ws = t.split()
+        for i in range(0, len(ws), 10):
+            segs.add(" ".join(ws[i : i + 10]))
+    assert set(got["segment"]) == segs
+
+
+def test_props_key_stats_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.props_key_stats(SF)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "props"]
+    )
+    k = ev["props"].str.extract(r'"k":\s*(\d+)', expand=False).astype("int64")
+    want = (
+        pd.DataFrame({"event_type": ev["event_type"], "k": k})
+        .groupby("event_type", as_index=False)
+        .agg(n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        .astype({"n_events": "int64", "sum_k": "int64", "max_k": "int64"})
+        .sort_values("event_type", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_tfidf_top_terms_matches_bruteforce():
+    """Two-shuffle tf-idf argmax == single-frame reference with the
+    same rounded score and (score desc, term asc) tie-break."""
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    got = (
+        D.tfidf_top_terms(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = len(docs)
+    tok = docs.set_index("doc_id")["text"].str.findall(r"\S+").explode()
+    tf = (
+        tok.groupby([tok.index, tok.to_numpy()])
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+    tf.columns = ["doc_id", "term", "tf"]
+    df_ = tf.groupby("term")["doc_id"].nunique().rename("df").reset_index()
+    m = tf.merge(df_, on="term")
+    m["_s"] = np.round(m["tf"] * np.log(n_docs / m["df"].to_numpy()), 6)
+    m = m.sort_values(
+        ["doc_id", "_s", "term"], ascending=[True, False, True]
+    )
+    want = (
+        m.groupby("doc_id", as_index=False)
+        .head(1)[["doc_id", "term", "tf", "df"]]
+        .astype({"tf": "int64", "df": "int64"})
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == n_docs
+
+
+def test_chars_percentiles_matches_rank_definition():
+    """Histogram percentiles == smallest value whose cumulative count
+    reaches ceil(p/100 * total)."""
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    got = D.chars_percentiles(SF)
+    v = np.sort(
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])[
+            "n_chars"
+        ].to_numpy()
+    )
+    total = v.size
+    for p, val in zip(got["p"], got["value"]):
+        rank = -(-p * total // 100)
+        assert val == v[rank - 1]
