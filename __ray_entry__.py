@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": D.props_key_stats,
         "tfidf_top_terms": D.tfidf_top_terms,
         "chars_percentiles": D.chars_percentiles,
+        "quota_sample_per_source": D.quota_sample_per_source,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -391,6 +392,15 @@ def oracle_sql() -> dict[str, str]:
                                     tf.term) AS rn
                 FROM tf JOIN df USING (term), n
             ) WHERE rn = 1
+        """,
+        "quota_sample_per_source": """
+            SELECT source, doc_id, rank FROM (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS rank
+                FROM documents) WHERE rank <= 20
         """,
         "chars_percentiles": """
             WITH c AS (SELECT n_chars AS v, count(*) AS n

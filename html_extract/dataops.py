@@ -2491,3 +2491,44 @@ def chars_percentiles(sf_dir, pcts=(25, 50, 75, 90, 99)) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["p", "value"]).astype(
         {"p": "int64", "value": "int64"}
     )
+
+
+def quota_sample_per_source(sf_dir, k: int = 20, num_partitions=None) -> rd.Dataset:
+    """Deterministic stratified sample: the k pseudo-random documents
+    per source, chosen by smallest ``md5(doc_id)`` — the domain-mixing
+    primitive (cap every source at a quota before blending a training
+    corpus).  md5 of the decimal doc_id is engine-portable, so the
+    exact sample is reproducible in SQL, Python, and any future
+    runtime.
+
+    Scale shape is the per-group top-k pattern (`top_docs_per_lang`):
+    each batch cuts itself to its own k-per-source first, so the
+    shuffle moves at most P*k rows per source."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        return df
+
+    order = dict(
+        by=["source", "_h", "doc_id"], ascending=True, kind="mergesort"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = with_hash(df)
+        return df.sort_values(**order).groupby("source", sort=False).head(k)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(**order)
+        top = g.groupby("source", sort=False).head(k).copy()
+        top["rank"] = (
+            top.groupby("source", sort=False).cumcount() + 1
+        ).astype("int64")
+        return top[["source", "doc_id", "rank"]]
+
+    return _keyed_agg(ds, partial, combine, ["source"], num_partitions)

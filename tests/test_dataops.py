@@ -1213,3 +1213,40 @@ def test_chars_percentiles_matches_rank_definition():
     for p, val in zip(got["p"], got["value"]):
         rank = -(-p * total // 100)
         assert val == v[rank - 1]
+
+
+def test_quota_sample_per_source_matches_bruteforce():
+    """Stratified md5-ordered sample == single-frame reference; the
+    sample is a deterministic function of doc_id alone."""
+    import hashlib
+
+    from html_extract import dataops as D
+
+    got = (
+        D.quota_sample_per_source(SF, k=20)
+        .to_pandas()
+        .sort_values(["source", "rank"], ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    docs["_h"] = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in docs["doc_id"]
+    ]
+    want = docs.sort_values(["source", "_h", "doc_id"])
+    want = want.groupby("source", sort=False).head(20).copy()
+    want["rank"] = (
+        want.groupby("source", sort=False).cumcount() + 1
+    ).astype("int64")
+    want = want[["source", "doc_id", "rank"]].sort_values(
+        ["source", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("source")["rank"].max() <= 20).all()
+    # partition-count invariance
+    again = (
+        D.quota_sample_per_source(SF, k=20, num_partitions=3)
+        .to_pandas()
+        .sort_values(["source", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(again, got)
