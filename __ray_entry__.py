@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": D.simhash_fingerprints,
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
+        "kmeans_clusters": D.kmeans_clusters,
         "winnow_fingerprints": D.winnow_fingerprints,
         "contamination_check": D.contamination_check,
         "pack_sequences": D.pack_sequences,

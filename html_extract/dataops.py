@@ -2532,3 +2532,103 @@ def quota_sample_per_source(sf_dir, k: int = 20, num_partitions=None) -> rd.Data
         return top[["source", "doc_id", "rank"]]
 
     return _keyed_agg(ds, partial, combine, ["source"], num_partitions)
+
+
+def kmeans_clusters(
+    sf_dir, k: int = 8, n_iter: int = 8, num_partitions=None
+) -> rd.Dataset:
+    """Distributed Lloyd k-means over the embedding column — the
+    corpus-clustering stage (topic bucketing, diversity sampling,
+    per-cluster quotas) of a training-data pipeline.
+
+    Ray shape: centroids are tiny (k x dim) and live on the driver;
+    every iteration broadcasts them once via ``ray.put`` and runs ONE
+    streaming pass that emits per-batch partial sums (k rows per
+    batch: cluster, count, sum-vector), so the driver only ever
+    reduces P*k small rows — never the data.  Assignment is a single
+    matmul per batch.  Iteration count is fixed (n_iter) for a
+    deterministic result; empty clusters keep their previous centroid.
+    The final labeled pass streams (vec_id, cluster) out without
+    driver materialization.  Non-SQL (iterative) -> rows-only check;
+    the pytest twin is a single-frame numpy Lloyd with the same init
+    and tie-break (np.argmin -> lowest cluster id)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(_path(sf_dir, "embeddings"))
+    if pf.metadata.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
+        )
+    # deterministic init: the first k vectors by file order (bounded
+    # head read; the driver never holds more than k rows here)
+    first = next(pf.iter_batches(batch_size=max(k, 16),
+                                 columns=["embedding"]))
+    C = _stack_embeddings(
+        pa.Table.from_batches([first]).column("embedding").to_pylist()[:k]
+    ).astype(np.float64)
+    k_eff = C.shape[0]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # argmin squared distance == argmin(-2 x.c + |c|^2); ties break
+        # to the lowest cluster id (np.argmin)
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        return np.argmin(d, axis=1)
+
+    for _ in range(n_iter):
+        c_ref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            M = _stack_embeddings(t.column("embedding").to_pylist()).astype(
+                np.float64
+            )
+            a = _assign(M, Cb)
+            sums = np.zeros_like(Cb)
+            np.add.at(sums, a, M)
+            counts = np.bincount(a, minlength=Cb.shape[0])
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.arange(Cb.shape[0], dtype=np.int64)
+                    ),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas()
+        n = parts.groupby("cluster")["n"].sum()
+        s = np.zeros_like(C)
+        np.add.at(
+            s,
+            parts["cluster"].to_numpy(),
+            np.stack(parts["s"].to_numpy()),
+        )
+        nz = n.reindex(range(k_eff), fill_value=0).to_numpy()
+        mask = nz > 0
+        C = C.copy()
+        C[mask] = s[mask] / nz[mask, None]
+
+    c_ref = ray.put(C)
+
+    def label(t: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        M = _stack_embeddings(t.column("embedding").to_pylist()).astype(
+            np.float64
+        )
+        a = _assign(M, Cb)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -1250,3 +1250,38 @@ def test_quota_sample_per_source_matches_bruteforce():
         .sort_values(["source", "rank"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(again, got)
+
+
+def test_kmeans_clusters_matches_single_frame_lloyd():
+    """Distributed Lloyd (partial-sum reduction per batch) must be
+    bit-identical to a single-frame numpy Lloyd with the same init,
+    iteration count, and argmin tie-break."""
+    import numpy as np
+
+    from html_extract import dataops as D
+
+    got = (
+        D.kmeans_clusters(SF, k=8, n_iter=8)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id", ignore_index=True)
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # same init: first k rows in FILE order (file is written sorted by
+    # vec_id in the testdata, so this equals the head)
+    C = X[:8].copy()
+    for _ in range(8):
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    want = pd.DataFrame(
+        {"vec_id": emb["vec_id"], "cluster": np.argmin(d, axis=1).astype("int64")}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["cluster"].nunique() > 1
