@@ -121,6 +121,11 @@ def run_bench():
         ("ann_topk", D.ann_topk),
         ("simhash_fingerprints", D.simhash_fingerprints),
         ("minhash_candidates", D.minhash_candidates),
+        # heaviest of the round-4 additions: tf-idf is a two-shuffle
+        # (term df groupby + per-doc top-k), segment_dedup a full
+        # shingle explode + first-wins shuffle
+        ("tfidf_top_terms", D.tfidf_top_terms),
+        ("segment_dedup", D.segment_dedup),
     ]
 
     for _ in range(runs):
