@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": D.tfidf_top_terms,
         "chars_percentiles": D.chars_percentiles,
         "quota_sample_per_source": D.quota_sample_per_source,
+        "source_label_stats": D.source_label_stats,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -413,5 +414,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ps, cum, t
             WHERE cum.cs >= CAST(ceil(ps.p * t.tot / 100.0) AS BIGINT)
             GROUP BY ps.p
+        """,
+        "source_label_stats": """
+            SELECT d.source,
+                   CAST(e.label AS BIGINT) AS label,
+                   count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.source, e.label
         """,
     }

@@ -2632,3 +2632,46 @@ def kmeans_clusters(
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def source_label_stats(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Per-(source, label) corpus stats across a LARGE-LARGE join:
+    documents x embeddings on doc_id = vec_id, then count + sum(chars)
+    per (source, label) cell — the "slice the corpus by provenance x
+    model-assigned class" report every curation pipeline runs before
+    mixing a training set.
+
+    Ray shape: neither side fits a broadcast at 10^12 docs, so this is
+    the one op that exercises ``_hash_join`` end-to-end — both sides
+    hash-partitioned on doc_id with the same partitioner, merged
+    per-partition with a vectorized pandas merge, then the (tiny)
+    per-partition (source, label) partials re-key through
+    ``_keyed_agg``.  The shuffle moves only the 4 needed columns; the
+    driver never sees a row."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    embs = _rename(
+        _read(sf_dir, "embeddings", ["vec_id", "label"]),
+        {"vec_id": "doc_id"},
+    )
+    joined = _hash_join(docs, embs, on=["doc_id"],
+                        num_partitions=num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "label"], sort=False)
+            .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["source", "label"], sort=False)[["n_docs", "sum_chars"]]
+            .sum()
+            .reset_index()
+        )
+        out["label"] = out["label"].astype("int64")
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return _keyed_agg(joined, partial, combine, ["source", "label"],
+                      num_partitions)

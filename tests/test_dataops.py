@@ -1285,3 +1285,35 @@ def test_kmeans_clusters_matches_single_frame_lloyd():
     )
     pd.testing.assert_frame_equal(got, want)
     assert got["cluster"].nunique() > 1
+
+
+def test_source_label_stats_matches_bruteforce():
+    """Large-large hash-join + (source,label) rollup == single-frame
+    pandas merge; partition-count invariant."""
+    from html_extract import dataops as D
+
+    def run(**kw):
+        return (
+            D.source_label_stats(SF, **kw)
+            .to_pandas()
+            .sort_values(["source", "label"], ignore_index=True)
+        )
+
+    got = run()
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    emb = pd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+    ).rename(columns={"vec_id": "doc_id"})
+    want = (
+        docs.merge(emb, on="doc_id", how="inner")
+        .groupby(["source", "label"], sort=True)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    want["label"] = want["label"].astype("int64")
+    want = want.astype({"n_docs": "int64", "sum_chars": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 1
+    pd.testing.assert_frame_equal(run(num_partitions=3), got)
