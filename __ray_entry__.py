@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentiles": D.chars_percentiles,
         "quota_sample_per_source": D.quota_sample_per_source,
         "source_label_stats": D.source_label_stats,
+        "shipping_priority": D.shipping_priority,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -422,5 +423,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
             GROUP BY d.source, e.label
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1998-01-01'
+              AND l.l_shipdate > DATE '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
         """,
     }

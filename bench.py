@@ -126,6 +126,8 @@ def run_bench():
         # shingle explode + first-wins shuffle
         ("tfidf_top_terms", D.tfidf_top_terms),
         ("segment_dedup", D.segment_dedup),
+        # the large-large shuffle join (documents x embeddings)
+        ("source_label_stats", D.source_label_stats),
     ]
 
     for _ in range(runs):

@@ -2675,3 +2675,115 @@ def source_label_stats(sf_dir, num_partitions=None) -> rd.Dataset:
 
     return _keyed_agg(joined, partial, combine, ["source", "label"],
                       num_partitions)
+
+
+def shipping_priority(
+    sf_dir,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_partitions=None,
+) -> pd.DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue — customer(segment) x
+    orders(before cutoff) x lineitem(shipped after cutoff), revenue
+    rolled up per order, top-k by revenue.  The canonical multi-hop
+    join benchmark; here it chains TWO ``_hash_join`` exchanges
+    (customer⋈orders on custkey, then ⋈lineitem on orderkey) with all
+    three date/segment predicates pushed into the parquet reads.
+
+    Revenue is integer-exact (cents x (100 - discount%)) so the DuckDB
+    oracle value-hash matches bit-for-bit; the driver only ever holds
+    P partial top-k frames of k rows each."""
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    P = _num_partitions(num_partitions)
+
+    cust_path = _path(sf_dir, "customer")
+    cust = rd.read_parquet(
+        cust_path,
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == segment,
+        schema=_clean_schema(cust_path, ["c_custkey", "c_mktsegment"]),
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    ord_path = _path(sf_dir, "orders")
+    ord_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    orders = rd.read_parquet(
+        ord_path,
+        columns=ord_cols,
+        filter=pc.field("o_orderdate") < cut,
+        schema=_clean_schema(ord_path, ord_cols),
+    )
+
+    li_path = _path(sf_dir, "lineitem")
+    li_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    li = rd.read_parquet(
+        li_path,
+        columns=li_cols,
+        filter=pc.field("l_shipdate") > cut,
+        schema=_clean_schema(li_path, li_cols),
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(price * 100).astype(np.int64) * (
+            100 - np.rint(disc * 100).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    j1 = _hash_join(orders, cust, on=["o_custkey"], num_partitions=P)
+    j1 = j1.map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        .rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    j2 = _hash_join(
+        j1,
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        num_partitions=P,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["rev"]
+            .sum()
+            .reset_index(name="revenue")
+        )
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["revenue"]
+            .sum()
+            .reset_index()
+        )
+        # per-partition top-k: only P*k rows ever reach the driver
+        return out.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    parts = _keyed_agg(j2, partial, combine, ["l_orderkey"], P).to_pandas()
+    top = parts.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    top["o_orderdate"] = pd.to_datetime(top["o_orderdate"]).dt.strftime(
+        "%Y-%m-%d"
+    )
+    return top[
+        ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
+    ].astype({"l_orderkey": "int64", "revenue": "int64"})

@@ -1317,3 +1317,44 @@ def test_source_label_stats_matches_bruteforce():
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 1
     pd.testing.assert_frame_equal(run(num_partitions=3), got)
+
+
+def test_shipping_priority_matches_bruteforce():
+    """Two-hop hash-join chain (customer x orders x lineitem) == a
+    single-frame pandas reference with the same integer revenue."""
+    from html_extract import dataops as D
+
+    got = D.shipping_priority(SF, k=10)
+    cust = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust[cust["c_mktsegment"] == "BUILDING"]
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    orders = orders[orders["o_orderdate"] < pd.Timestamp("1998-01-01")]
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = li[li["l_shipdate"] > pd.Timestamp("1998-01-01")].copy()
+    li["rev"] = np.rint(li["l_extendedprice"] * 100).astype("int64") * (
+        100 - np.rint(li["l_discount"] * 100).astype("int64")
+    )
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        li, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    want = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["rev"]
+        .sum()
+        .reset_index(name="revenue")
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    want["o_orderdate"] = want["o_orderdate"].dt.strftime("%Y-%m-%d")
+    want = want[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    want = want.astype({"l_orderkey": "int64", "revenue": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 10
