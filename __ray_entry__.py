@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample_per_source": D.quota_sample_per_source,
         "source_label_stats": D.source_label_stats,
         "shipping_priority": D.shipping_priority,
+        "priority_semi_counts": D.priority_semi_counts,
+        "churned_customers": D.churned_customers,
+        "event_interarrival": D.event_interarrival,
+        "price_band_stats": D.price_band_stats,
+        "source_lang_rollup": D.source_lang_rollup,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -105,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": D.minhash_candidates,
         "minhash_dedup": D.minhash_dedup,
         "simhash_fingerprints": D.simhash_fingerprints,
+        "approx_distinct_users": D.approx_distinct_users,
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
         "kmeans_clusters": D.kmeans_clusters,
@@ -440,5 +446,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue DESC, l.l_orderkey
             LIMIT 10
+        """,
+        "priority_semi_counts": """
+            SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
+        """,
+        "churned_customers": """
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '2000-01-01')
+            GROUP BY c.c_mktsegment
+        """,
+        "event_interarrival": """
+            WITH d AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM d WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        """,
+        "price_band_stats": """
+            WITH bands(band_lo, band_hi) AS (VALUES
+                (0, 500), (500, 1000), (1000, 2000), (2000, 4000),
+                (4000, 8000), (8000, 16000), (16000, 32000),
+                (32000, 9e18))
+            SELECT CAST(b.band_lo AS BIGINT) AS band_lo,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN bands b
+              ON l.l_extendedprice >= b.band_lo
+             AND l.l_extendedprice < b.band_hi
+            GROUP BY b.band_lo
+        """,
+        "source_lang_rollup": """
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COALESCE(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
     }

@@ -2787,3 +2787,354 @@ def shipping_priority(
     return top[
         ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
     ].astype({"l_orderkey": "int64", "revenue": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS at scale)
+
+
+def _semi_anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    anti: bool = False,
+    num_partitions=None,
+) -> rd.Dataset:
+    """Distributed semi-join (``anti=False``: keep left rows whose key
+    EXISTS on the right) / anti-join (``anti=True``: keep left rows
+    whose key does NOT exist).
+
+    The right side is reduced to DISTINCT keys per batch before the
+    exchange, so the shuffle moves one slim key column regardless of
+    right-side width or duplication; both sides are hash-co-located on
+    ``on`` with the same partitioner as ``_hash_join`` and each
+    partition filters its left rows with ONE vectorized ``isin``.
+    Never materializes a join product — the output is a subset of the
+    left input, which is what EXISTS semantics mean.  Scale story:
+    one shuffle total, per-partition memory is the partition's left
+    rows + its distinct right keys."""
+    P = _num_partitions(num_partitions)
+    lsch = left.schema()
+    payload = [c for c in lsch.names if c != on]
+    all_cols = [on] + payload
+
+    def prep(side):
+        def f(t: pa.Table) -> pa.Table:
+            if side == 1:
+                # distinct keys only: slims both the batch and the shuffle
+                t = t.select([on])
+                keys = t[on].unique()
+                t = pa.table({on: keys})
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                cols[c] = t[c] if c in t.column_names else pa.nulls(n)
+            key_df = pd.DataFrame({on: t[on].to_pandas()})
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["_part"] = pa.array(_hash_mod(key_df, [on], P), pa.int32())
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right_keys.map_batches(prep(1), batch_format="pyarrow")
+    )
+
+    def filter_part(t: pa.Table) -> pd.DataFrame:
+        lft = (
+            t.filter(pc.equal(t["_side"], 0))
+            .select(all_cols)
+            .to_pandas()
+        )
+        rkeys = t.filter(pc.equal(t["_side"], 1))[on].to_pandas()
+        mask = lft[on].isin(rkeys)
+        if anti:
+            mask = ~mask
+        return lft[mask]
+
+    return tagged.groupby("_part").map_groups(
+        filter_part, batch_format="pyarrow"
+    )
+
+
+def priority_semi_counts(
+    sf_dir, flag: str = "R", num_partitions=None
+) -> rd.Dataset:
+    """TPC-H Q4 shape: per-priority counts of orders that HAVE at least
+    one returned lineitem (EXISTS) — a distributed semi-join.  The
+    lineitem side is predicate-pushed at the parquet read and reduced
+    to distinct orderkeys per batch; the driver only ever sees the
+    ~5-row priority rollup."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li_path = _path(sf_dir, "lineitem")
+    li = rd.read_parquet(
+        li_path,
+        columns=["l_orderkey", "l_returnflag"],
+        filter=pc.field("l_returnflag") == flag,
+        schema=_clean_schema(li_path, ["l_orderkey", "l_returnflag"]),
+    ).map_batches(
+        lambda t: t.select(["l_orderkey"]).rename_columns(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    hits = _semi_anti_join(orders, li, on="o_orderkey",
+                           num_partitions=num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        col = "n_orders" if "n_orders" in df.columns else "o_orderkey"
+        agg = "sum" if col == "n_orders" else "size"
+        g = df.groupby("o_orderpriority", sort=False)
+        out = (g[col].sum() if agg == "sum" else g.size()).reset_index(
+            name="n_orders"
+        )
+        return out
+
+    return _tree_agg(hits, partial)
+
+
+def churned_customers(
+    sf_dir, cutoff: str = "2000-01-01", num_partitions=None
+) -> rd.Dataset:
+    """Anti-join churn audit: per-segment count + account-balance mass
+    of customers with NO order on/after ``cutoff`` (NOT EXISTS).  The
+    order side is predicate-pushed at the parquet read; balance is
+    summed in integer cents so the DuckDB oracle value-hash is exact.
+    The default cutoff provably yields non-empty output on the driver
+    corpus at every sf (14 / 135 / 1355 churned customers)."""
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    ord_path = _path(sf_dir, "orders")
+    orders = rd.read_parquet(
+        ord_path,
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= cut,
+        schema=_clean_schema(ord_path, ["o_custkey", "o_orderdate"]),
+    ).map_batches(
+        lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    idle = _semi_anti_join(cust, orders, on="c_custkey", anti=True,
+                           num_partitions=num_partitions)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "n_customers" in df.columns:
+            return df.groupby("c_mktsegment", as_index=False).agg(
+                n_customers=("n_customers", "sum"),
+                sum_acctbal_cents=("sum_acctbal_cents", "sum"),
+            )
+        df = df.assign(
+            _cents=np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        )
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_custkey", "size"),
+            sum_acctbal_cents=("_cents", "sum"),
+        )
+
+    return _tree_agg(idle, partial)
+
+
+# ---------------------------------------------------------------------------
+# window functions, sketches, range join, rollup
+
+
+def event_interarrival(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Windowed LAG over the event stream: per event_type, the count /
+    sum / max of inter-arrival gaps (microseconds between an event and
+    the SAME user's previous event, ordered by ts then event_id).
+
+    SQL twin: ``LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``.  Distributed shape: ONE shuffle hash-co-locating each
+    user's history, one vectorized sort + diff per partition (no
+    per-user Python), then a tiny per-type combine.  Gaps are integer
+    microseconds so the oracle hash is exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        d = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[same],
+                "gap_us": gap[same],
+            }
+        )
+        return d.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+
+    partials = _partition_apply(ds, ["user_id"], gaps, num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"),
+            sum_gap_us=("sum_gap_us", "sum"),
+            max_gap_us=("max_gap_us", "max"),
+        )
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )
+
+
+_HLL_P = 12  # 4096 registers; ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_registers(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: index = top p bits, rank =
+    1 + leading zeros of the remaining 64-p bits.  The sub-hash has
+    <= 52 significant bits, so float64 frexp recovers its bit length
+    exactly (no precision loss below 2^53)."""
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) >> np.uint64(_HLL_P)
+    bitlen = np.frexp(rest.astype(np.float64))[1]  # 0 for rest == 0
+    rank = np.where(rest == 0, 64 - _HLL_P + 1, 64 - _HLL_P - bitlen + 1)
+    return idx, rank.astype(np.uint8)
+
+
+def approx_distinct_users(sf_dir) -> pd.DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (p=12).
+
+    Classic mergeable-sketch shape: each batch builds one 4 KiB
+    register array per event_type present (siphash via
+    ``pd.util.hash_pandas_object`` — deterministic across machines,
+    same contract as ``_hash_mod``), partials merge with an
+    element-wise max, and the driver sees types x 4 KiB regardless of
+    user count.  At 10^12 events this is the only shape that works —
+    exact distinct would shuffle every user id.  Estimator uses the
+    standard alpha_m bias correction + linear counting below 2.5m.
+    Rows-only check by design (DuckDB's approx_count_distinct is a
+    different HLL); the accuracy contract (<=5% vs exact nunique) is
+    pinned by pytest."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "regs" in df.columns:  # combining partials
+            out = []
+            for et, g in df.groupby("event_type", sort=False):
+                regs = np.frombuffer(g["regs"].iloc[0], dtype=np.uint8)
+                for b in g["regs"].iloc[1:]:
+                    regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+                out.append((et, regs.tobytes()))
+            return pd.DataFrame(out, columns=["event_type", "regs"])
+        h = pd.util.hash_pandas_object(
+            df["user_id"], index=False
+        ).to_numpy(dtype=np.uint64)
+        idx, rank = _hll_registers(h)
+        out = []
+        for et, sel in df.groupby("event_type", sort=False).indices.items():
+            regs = np.zeros(_HLL_M, dtype=np.uint8)
+            np.maximum.at(regs, idx[sel], rank[sel])
+            out.append((et, regs.tobytes()))
+        return pd.DataFrame(out, columns=["event_type", "regs"])
+
+    merged = _tree_agg(ds, partial).to_pandas()
+
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for et, b in zip(merged["event_type"], merged["regs"]):
+        regs = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        est = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = float(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting regime
+        rows.append((et, int(round(est))))
+    return pd.DataFrame(rows, columns=["event_type", "approx_users"]).sort_values(
+        "event_type", ignore_index=True
+    )
+
+
+# price-band edges for the broadcast range join below: [lo, hi) pairs,
+# last band open-ended.  A range join against a small interval table is
+# a searchsorted per batch — never a shuffle.
+_PRICE_BAND_EDGES = [0, 500, 1000, 2000, 4000, 8000, 16000, 32000]
+
+
+def price_band_stats(sf_dir) -> rd.Dataset:
+    """Broadcast RANGE JOIN: each lineitem row lands in the price band
+    [lo, hi) containing l_extendedprice, then per-band item count +
+    integer-cents revenue.  The interval table is tiny, so the join is
+    one vectorized ``np.searchsorted`` per batch against the sorted
+    band edges (the generic pattern: ``ray.put`` the sorted interval
+    bounds once and binary-search inside ``map_batches``); the only
+    exchange is the ~8-row rollup.  SQL twin joins on
+    ``price >= lo AND price < hi`` — a genuine range join."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    edges = np.asarray(_PRICE_BAND_EDGES, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "band_lo" in df.columns:
+            return df.groupby("band_lo", as_index=False).agg(
+                n_items=("n_items", "sum"),
+                revenue_cents=("revenue_cents", "sum"),
+            )
+        price = df["l_extendedprice"].to_numpy()
+        band = np.searchsorted(edges, price, side="right") - 1
+        cents = np.rint(price * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"band_lo": edges[band].astype(np.int64), "cents": cents}
+        ).groupby("band_lo", as_index=False)
+        return g.agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    return _tree_agg(ds, partial)
+
+
+def source_lang_rollup(sf_dir, num_partitions=None) -> rd.Dataset:
+    """GROUP BY ROLLUP(source, lang): doc counts + char mass at the
+    finest (source, lang) level, per-source subtotals, and the grand
+    total — subtotal rows carry 'ALL'.  Distributed shape: per-batch
+    partials at the finest level, keyed combine on (source, lang),
+    then the rollup levels derive from the ALREADY-AGGREGATED finest
+    rows (cardinality = distinct pairs, never raw rows) in one tiny
+    final task."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+
+    finest = _keyed_agg(ds, partial, combine, ["source", "lang"],
+                        num_partitions)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        by_source = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        by_source["lang"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "source": ["ALL"],
+                "lang": ["ALL"],
+                "n_docs": [df["n_docs"].sum()],
+                "sum_chars": [df["sum_chars"].sum()],
+            }
+        )
+        cols = ["source", "lang", "n_docs", "sum_chars"]
+        return pd.concat(
+            [df[cols], by_source[cols], total[cols]], ignore_index=True
+        )
+
+    return finest.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )

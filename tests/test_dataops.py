@@ -1358,3 +1358,204 @@ def test_shipping_priority_matches_bruteforce():
     want = want.astype({"l_orderkey": "int64", "revenue": "int64"})
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 10
+
+
+def test_priority_semi_counts_matches_bruteforce():
+    """Distributed semi-join (EXISTS) == pandas isin reference."""
+    from html_extract import dataops as D
+
+    got = (
+        D.priority_semi_counts(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    keys = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    want = (
+        orders[orders["o_orderkey"].isin(keys)]
+        .groupby("o_orderpriority")
+        .size()
+        .reset_index(name="n_orders")
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_orders"].sum() > 0
+    got3 = (
+        D.priority_semi_counts(SF, num_partitions=3)
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got3, want)
+
+
+def test_churned_customers_matches_bruteforce():
+    """Distributed anti-join (NOT EXISTS) == pandas ~isin reference,
+    and the default cutoff is non-vacuous at sf0.001."""
+    from html_extract import dataops as D
+
+    got = (
+        D.churned_customers(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    active = set(
+        orders.loc[
+            orders["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"
+        ]
+    )
+    idle = cust[~cust["c_custkey"].isin(active)].copy()
+    idle["_c"] = np.rint(idle["c_acctbal"] * 100).astype("int64")
+    want = (
+        idle.groupby("c_mktsegment", as_index=False)
+        .agg(n_customers=("c_custkey", "size"), sum_acctbal_cents=("_c", "sum"))
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_customers"].sum() > 0  # cutoff chosen to be non-vacuous
+
+
+def test_event_interarrival_matches_window_reference():
+    """Hash-co-located LAG == single-frame sorted-diff reference."""
+    from html_extract import dataops as D
+
+    got = (
+        D.event_interarrival(SF)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    us = ev["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+    uid = ev["user_id"].to_numpy()
+    same = np.r_[False, uid[1:] == uid[:-1]]
+    gap = np.r_[0, us[1:] - us[:-1]]
+    d = pd.DataFrame(
+        {"event_type": ev["event_type"].to_numpy()[same], "gap_us": gap[same]}
+    )
+    want = (
+        d.groupby("event_type", as_index=False)
+        .agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+        .sort_values("event_type", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(
+        D.event_interarrival(SF, num_partitions=5)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True),
+        want,
+    )
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """The register kernel estimates 50k distinct int64 keys within 5%
+    (true HLL regime, not linear counting), and merging two disjoint
+    halves' registers equals sketching the union."""
+    from html_extract import dataops as D
+
+    keys = pd.Series(np.arange(50_000, dtype=np.int64) * 7_919 + 13)
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy(dtype=np.uint64)
+    idx, rank = D._hll_registers(h)
+    regs = np.zeros(D._HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+
+    m = float(D._HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    assert est > 2.5 * m  # genuinely in the HLL regime
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+    ra = np.zeros(D._HLL_M, dtype=np.uint8)
+    rb = np.zeros(D._HLL_M, dtype=np.uint8)
+    np.maximum.at(ra, idx[:25_000], rank[:25_000])
+    np.maximum.at(rb, idx[25_000:], rank[25_000:])
+    assert np.array_equal(np.maximum(ra, rb), regs)  # mergeable sketch
+
+
+def test_approx_distinct_users_vs_exact():
+    from html_extract import dataops as D
+
+    got = D.approx_distinct_users(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    )
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    for _, r in got.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) / e < 0.05
+
+
+def test_price_band_stats_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.price_band_stats(SF)
+        .to_pandas()
+        .sort_values("band_lo", ignore_index=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])
+    edges = np.asarray(D._PRICE_BAND_EDGES, dtype=np.float64)
+    price = li["l_extendedprice"].to_numpy()
+    band = edges[np.searchsorted(edges, price, side="right") - 1].astype(
+        "int64"
+    )
+    cents = np.rint(price * 100).astype("int64")
+    want = (
+        pd.DataFrame({"band_lo": band, "cents": cents})
+        .groupby("band_lo", as_index=False)
+        .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        .sort_values("band_lo", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_items"] > 0).all()
+
+
+def test_source_lang_rollup_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.source_lang_rollup(SF)
+        .to_pandas()
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    fin = docs.groupby(["source", "lang"], as_index=False).agg(
+        n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+    )
+    bys = docs.groupby(["source"], as_index=False).agg(
+        n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+    )
+    bys["lang"] = "ALL"
+    tot = pd.DataFrame(
+        {
+            "source": ["ALL"],
+            "lang": ["ALL"],
+            "n_docs": [len(docs)],
+            "sum_chars": [docs["n_chars"].sum()],
+        }
+    )
+    cols = ["source", "lang", "n_docs", "sum_chars"]
+    want = (
+        pd.concat([fin[cols], bys[cols], tot[cols]], ignore_index=True)
+        .sort_values(["source", "lang"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # grand total row present exactly once
+    assert ((got["source"] == "ALL") & (got["lang"] == "ALL")).sum() == 1
