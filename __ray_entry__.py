@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": D.event_interarrival,
         "price_band_stats": D.price_band_stats,
         "source_lang_rollup": D.source_lang_rollup,
+        "small_quantity_revenue": D.small_quantity_revenue,
+        "lang_source_pivot": D.lang_source_pivot,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -501,5 +503,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "small_quantity_revenue": """
+            WITH a AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN a ON l.l_partkey = a.l_partkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.n < a.s
+            GROUP BY p.p_brand
+        """,
+        "lang_source_pivot": """
+            SELECT source,
+                   CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+                   CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+                   CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+                   CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+            FROM documents GROUP BY source
         """,
     }

@@ -3138,3 +3138,126 @@ def source_lang_rollup(sf_dir, num_partitions=None) -> rd.Dataset:
     return finest.repartition(1).map_batches(
         rollup, batch_format="pandas", batch_size=None
     )
+
+
+def small_quantity_revenue(sf_dir, num_partitions=None) -> rd.Dataset:
+    """TPC-H Q17 shape — self-aggregation join: revenue mass of
+    lineitems whose quantity is below 20% of their OWN part's average
+    quantity, rolled up per part brand.
+
+    The threshold compare is integer-exact (``5*q*n < sum_q`` ==
+    ``q < 0.2*avg``; quantities are integral), so float summation
+    order can never flip a borderline row vs the oracle.  Shape: one
+    keyed partial-agg shuffle builds per-part (sum, count), ONE
+    ``_hash_join`` co-locates those stats with the lineitems, the
+    filter + brand attribution run vectorized per batch against a
+    broadcast part->brand lookup (guarded searchsorted — orphan keys
+    drop, never mislabel), and only the ~brand-count rollup reaches
+    the driver."""
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    P = _num_partitions(num_partitions)
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        return (
+            pd.DataFrame({"l_partkey": df["l_partkey"], "q": q})
+            .groupby("l_partkey", as_index=False)
+            .agg(s=("q", "sum"), n=("q", "size"))
+        )
+
+    def stat_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+
+    stats = _keyed_agg(li, stat_partial, stat_combine, ["l_partkey"], P)
+
+    part = pd.read_parquet(
+        _path(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    order = np.argsort(part["p_partkey"].to_numpy())
+    brand_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy()[order],
+            part["p_brand"].to_numpy()[order],
+        )
+    )
+
+    joined = _hash_join(li, stats, on=["l_partkey"], num_partitions=P)
+
+    class FilterBrand:
+        def __init__(self):
+            self.keys, self.brands = ray.get(brand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "p_brand": pd.Series([], dtype=object),
+                        "n_items": pd.Series([], dtype=np.int64),
+                        "revenue_cents": pd.Series([], dtype=np.int64),
+                    }
+                )
+            q = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+            keep = 5 * q * df["n"].to_numpy() < df["s"].to_numpy()
+            pk = df["l_partkey"].to_numpy()[keep]
+            cents = np.rint(
+                df["l_extendedprice"].to_numpy()[keep] * 100
+            ).astype(np.int64)
+            idx = np.searchsorted(self.keys, pk)
+            valid = (idx < len(self.keys)) & (
+                self.keys[np.minimum(idx, len(self.keys) - 1)] == pk
+            )
+            return (
+                pd.DataFrame(
+                    {
+                        "p_brand": self.brands[idx[valid]],
+                        "cents": cents[valid],
+                    }
+                )
+                .groupby("p_brand", as_index=False)
+                .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+            )
+
+    partials = joined.map_batches(
+        FilterBrand, batch_format="pandas", concurrency=(1, 8)
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )
+
+
+# the corpus' closed lang set — documented contract shared with the
+# lang_source_pivot oracle SQL (a pivot's output columns are schema,
+# so they must be enumerable up front on both sides)
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def lang_source_pivot(sf_dir) -> rd.Dataset:
+    """PIVOT: one row per source, one ``n_<lang>`` count column per
+    corpus language.  Conditional-aggregation shape: each batch emits
+    an already-wide partial (vectorized crosstab), partials sum in a
+    tiny final task — the wide table never exists as long skinny rows
+    and nothing but (sources x langs) ints ever moves."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    cols = [f"n_{l}" for l in _PIVOT_LANGS]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "n_de" in df.columns:  # combining wide partials
+            return df.groupby("source", as_index=False)[cols].sum()
+        wide = pd.crosstab(df["source"], df["lang"])
+        wide = wide.reindex(columns=_PIVOT_LANGS, fill_value=0).astype(
+            np.int64
+        )
+        wide.columns = cols
+        return wide.rename_axis("source").reset_index()
+
+    return _tree_agg(ds, partial)

@@ -1559,3 +1559,67 @@ def test_source_lang_rollup_matches_bruteforce():
     pd.testing.assert_frame_equal(got, want)
     # grand total row present exactly once
     assert ((got["source"] == "ALL") & (got["lang"] == "ALL")).sum() == 1
+
+
+def test_small_quantity_revenue_matches_bruteforce():
+    """Self-aggregation join (Q17 shape): integer threshold compare ==
+    single-frame pandas reference."""
+    from html_extract import dataops as D
+
+    got = (
+        D.small_quantity_revenue(SF)
+        .to_pandas()
+        .sort_values("p_brand", ignore_index=True)
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = pd.read_parquet(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li["q"] = np.rint(li["l_quantity"]).astype("int64")
+    st = li.groupby("l_partkey").agg(s=("q", "sum"), n=("q", "size"))
+    j = li.join(st, on="l_partkey")
+    j = j[5 * j["q"] * j["n"] < j["s"]].merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    j["cents"] = np.rint(j["l_extendedprice"] * 100).astype("int64")
+    want = (
+        j.groupby("p_brand", as_index=False)
+        .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        .sort_values("p_brand", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_items"].sum() > 0
+    pd.testing.assert_frame_equal(
+        D.small_quantity_revenue(SF, num_partitions=3)
+        .to_pandas()
+        .sort_values("p_brand", ignore_index=True),
+        want,
+    )
+
+
+def test_lang_source_pivot_matches_crosstab():
+    from html_extract import dataops as D
+
+    got = (
+        D.lang_source_pivot(SF)
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["source", "lang"]
+    )
+    want = (
+        pd.crosstab(docs["source"], docs["lang"])
+        .reindex(columns=D._PIVOT_LANGS, fill_value=0)
+        .astype("int64")
+    )
+    want.columns = [f"n_{l}" for l in D._PIVOT_LANGS]
+    want = want.rename_axis("source").reset_index().sort_values(
+        "source", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every doc counted exactly once
+    assert got[[c for c in got.columns if c != "source"]].to_numpy().sum() == len(docs)
