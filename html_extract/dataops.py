@@ -215,6 +215,14 @@ def _hash_join(
     P = _num_partitions(num_partitions)
     on = list(on)
     lsch, rsch = left.schema(), right.schema()
+    # a fully-empty side reports schema None (e.g. a predicate-pushdown
+    # read that matched nothing); its payload columns are unknowable,
+    # so degrade to the only sound answer of that shape
+    if lsch is None:
+        return left  # zero left rows -> zero join rows
+    if rsch is None:
+        # inner: empty; left: keep left rows (right payload unknowable)
+        return left.limit(0) if how == "inner" else left
     payload_l = [c for c in lsch.names if c not in on]
     payload_r = [c for c in rsch.names if c not in on]
     overlap = set(payload_l) & set(payload_r)
@@ -2815,6 +2823,8 @@ def _semi_anti_join(
     rows + its distinct right keys."""
     P = _num_partitions(num_partitions)
     lsch = left.schema()
+    if lsch is None:  # empty left: nothing to keep either way
+        return left
     payload = [c for c in lsch.names if c != on]
     all_cols = [on] + payload
 

@@ -1623,3 +1623,89 @@ def test_lang_source_pivot_matches_crosstab():
     pd.testing.assert_frame_equal(got, want)
     # every doc counted exactly once
     assert got[[c for c in got.columns if c != "source"]].to_numpy().sum() == len(docs)
+
+
+@pytest.mark.parametrize(
+    "lkeys,rkeys",
+    [
+        ([], [1, 2, 3]),                      # empty left
+        ([1, 2, 3], []),                      # empty right
+        ([], []),                             # both empty
+        ([1, 1, 1, 1], [1, 1]),               # all-duplicate keys
+        ([1, 2, 3], [4, 5, 6]),               # disjoint (all orphans)
+        ([-5, 0, 7, -5], [-5, 7, 9]),         # negative + zero keys
+        ([42], [42]),                         # single row each
+        (list(range(50)), list(range(25, 75))),  # partial overlap
+    ],
+)
+def test_hash_join_adversarial(lkeys, rkeys):
+    """_hash_join == pandas merge on every adversarial key layout
+    (empty sides, orphans, full duplication, negatives) at a partition
+    count that guarantees some partitions see one side only."""
+    import ray.data as rd
+
+    from html_extract import dataops as D
+
+    lf = pd.DataFrame({"k": pd.Series(lkeys, dtype="int64"),
+                       "lv": np.arange(len(lkeys), dtype="int64")})
+    rf = pd.DataFrame({"k": pd.Series(rkeys, dtype="int64"),
+                       "rv": np.arange(len(rkeys), dtype="int64") * 10})
+    lds = rd.from_pandas(lf).repartition(3)
+    rds = rd.from_pandas(rf).repartition(2)
+
+    got = D._hash_join(lds, rds, on=["k"], num_partitions=4).to_pandas()
+    want = lf.merge(rf, on="k").sort_values(
+        ["k", "lv", "rv"], ignore_index=True
+    )
+    if len(want) == 0:
+        # empty Datasets legitimately lose their pandas schema on
+        # collection; row count is the whole contract here
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.sort_values(["k", "lv", "rv"], ignore_index=True)[
+                ["k", "lv", "rv"]
+            ].astype("int64"),
+            want,
+        )
+
+
+@pytest.mark.parametrize("anti", [False, True])
+@pytest.mark.parametrize(
+    "lkeys,rkeys",
+    [
+        ([1, 2, 3, 2], [2, 2, 9]),            # dup keys both sides
+        ([1, 2, 3], [4, 5]),                  # disjoint
+        ([7, 7, 7], [7]),                     # all-hit
+        ([-1, 0, 1], [0]),                    # negatives/zero
+        (list(range(40)), list(range(0, 40, 3))),  # strided overlap
+    ],
+)
+def test_semi_anti_join_adversarial(anti, lkeys, rkeys):
+    import ray.data as rd
+
+    from html_extract import dataops as D
+
+    lf = pd.DataFrame({"k": pd.Series(lkeys, dtype="int64"),
+                       "lv": np.arange(len(lkeys), dtype="int64")})
+    rf = pd.DataFrame({"k": pd.Series(rkeys, dtype="int64")})
+    got = D._semi_anti_join(
+        rd.from_pandas(lf).repartition(3),
+        rd.from_pandas(rf).repartition(2),
+        on="k",
+        anti=anti,
+        num_partitions=4,
+    ).to_pandas()
+    mask = lf["k"].isin(set(rkeys))
+    want = lf[~mask if anti else mask].sort_values(
+        ["k", "lv"], ignore_index=True
+    )
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.sort_values(["k", "lv"], ignore_index=True)[
+                ["k", "lv"]
+            ].astype("int64"),
+            want,
+        )
