@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_rollup": D.source_lang_rollup,
         "small_quantity_revenue": D.small_quantity_revenue,
         "lang_source_pivot": D.lang_source_pivot,
+        "heavy_hitters": D.heavy_hitters,
+        "unigram_surprisal": D.unigram_surprisal,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -529,5 +531,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
                    CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
             FROM documents GROUP BY source
+        """,
+        "heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS word
+                FROM documents WHERE trim(text) <> ''
+            ),
+            t AS (SELECT count(*) AS total FROM w)
+            SELECT w.word, CAST(count(*) AS BIGINT) AS n
+            FROM w, t GROUP BY w.word, t.total
+            HAVING 1000 * count(*) > t.total
+        """,
+        "unigram_surprisal": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS word
+                FROM documents WHERE trim(text) <> ''
+            ),
+            c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            t AS (SELECT count(*) AS total FROM w),
+            q AS (SELECT c.word,
+                         CAST(floor(log2(CAST(t.total AS DOUBLE) / c.c)
+                                    * 1000000 + 0.5) AS BIGINT) AS q
+                  FROM c, t)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(q.q) AS BIGINT) AS microbits
+            FROM w JOIN q USING (word)
+            GROUP BY w.doc_id
         """,
     }

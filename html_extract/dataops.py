@@ -3271,3 +3271,133 @@ def lang_source_pivot(sf_dir) -> rd.Dataset:
         return wide.rename_axis("source").reset_index()
 
     return _tree_agg(ds, partial)
+
+
+def heavy_hitters(sf_dir, phi_den: int = 1000, num_partitions=None) -> pd.DataFrame:
+    """EXACT heavy hitters (words with frequency > 1/``phi_den`` of
+    all tokens) via the classic two-pass sketch-then-verify shape:
+
+    pass 1 — per-batch Misra-Gries summaries (capacity 4x the
+    threshold, so any true heavy hitter provably survives the merge's
+    <= n/(m+1) undercount) tree-merge down to <= m candidate rows; the
+    full vocabulary never shuffles anywhere.
+    pass 2 — the candidate set broadcasts once (``ray.put``) and each
+    batch counts ONLY candidates exactly, plus its token total; a tiny
+    combine then applies the integer-exact cut ``phi_den * n > total``
+    (never ``n > phi * total`` — binary 0.001 could flip a borderline
+    word vs the oracle).
+
+    At 100 TB this is the only exact-answer shape that works: memory
+    is O(m) per task and the driver sees <= m rows per pass."""
+    m = 4 * phi_den
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "w" in df.columns:  # merging summaries
+            g = df.groupby("word", as_index=False).agg(w=("w", "sum"))
+        else:
+            words = df["text"].str.split().explode().dropna()
+            vc = words.value_counts()
+            g = vc.rename_axis("word").reset_index(name="w")
+        if len(g) > m:
+            g = g.sort_values("w", ascending=False, ignore_index=True)
+            cut = int(g["w"].iloc[m])  # (m+1)-th largest
+            g["w"] = g["w"] - cut
+            g = g[g["w"] > 0]
+        return g
+
+    cand = _tree_agg(ds, mg_partial).to_pandas()
+    cand_ref = ray.put(frozenset(cand["word"]))
+
+    class ExactCount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if "total" in df.columns:  # combining partials
+                return df.groupby("word", as_index=False).agg(
+                    n=("n", "sum"), total=("total", "sum")
+                )
+            words = df["text"].str.split().explode().dropna()
+            total = len(words)
+            hits = words[words.isin(self.cand)]
+            out = hits.value_counts().rename_axis("word").reset_index(name="n")
+            # token total rides along per row-group via a sentinel row
+            # ('' is unreachable: whitespace split never yields it)
+            out.loc[len(out)] = ["", 0]
+            out["n"] = out["n"].astype("int64")
+            out["total"] = np.int64(total)
+            return out
+
+    partials = ds.map_batches(
+        ExactCount, batch_format="pandas", concurrency=(1, 8)
+    )
+    agg = (
+        partials.repartition(1)
+        .map_batches(
+            lambda df: df.groupby("word", as_index=False).agg(
+                n=("n", "sum"), total=("total", "sum")
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    total = int(agg.loc[agg["word"] == "", "total"].sum())
+    out = agg[(agg["word"] != "") & (phi_den * agg["n"] > total)]
+    return out[["word", "n"]].sort_values(
+        ["n", "word"], ascending=[False, True], ignore_index=True
+    )
+
+
+def unigram_surprisal(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Per-document cross-entropy under the corpus' own unigram LM —
+    the CCNet/Gopher-style LM quality signal.  Emits integer
+    micro-bits: each word's surprisal ``log2(total/count)`` is
+    quantized ONCE to an int64 (``floor(x*1e6 + 0.5)``) and per-doc
+    totals are integer sums, so the result is order-independent and
+    the DuckDB twin hash-matches exactly (float sums would be
+    summation-order lotteries on both sides).
+
+    Scale shape (same partitioning story as ``tfidf_top_terms``):
+    exact per-batch tf, corpus counts by word-hash keyed combine, the
+    count->surprisal attach is a co-partitioned merge on the SAME
+    word hash (vocabulary never broadcasts or funnels), and per-doc
+    sums are one more keyed pass on doc hash."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = _num_partitions(num_partitions)
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].str.findall(r"\S+").explode().dropna()
+        g = ex.groupby([ex.index, ex.to_numpy()]).size().rename("tf").reset_index()
+        g.columns = ["doc_id", "word", "tf"]
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    # corpus totals: tiny P-row second pass over the tf rows
+    total = int(
+        _tree_agg(
+            tf,
+            lambda df: pd.DataFrame({"t": [df["tf"].sum()]}),
+            lambda df: pd.DataFrame({"t": [df["t"].sum()]}),
+        ).to_pandas()["t"].iloc[0]
+    )
+
+    def attach_q(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a word are co-located: corpus count = group sum
+        g = g.copy()
+        c = g.groupby("word")["tf"].transform("sum").to_numpy(np.float64)
+        q = np.floor(np.log2(float(total) / c) * 1e6 + 0.5).astype(np.int64)
+        g["q"] = q * g["tf"].to_numpy()
+        return g
+
+    scored = _partition_apply(tf, ["word"], attach_q, P)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), microbits=("q", "sum")
+        )
+
+    return _partition_apply(scored, ["doc_id"], per_doc, P)

@@ -1709,3 +1709,87 @@ def test_semi_anti_join_adversarial(anti, lkeys, rkeys):
             ].astype("int64"),
             want,
         )
+
+
+def test_heavy_hitters_exact_two_pass():
+    """Misra-Gries candidates + exact verify == full-count reference,
+    with the integer-exact threshold."""
+    from html_extract import dataops as D
+
+    got = D.heavy_hitters(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    words = docs["text"].str.split().explode().dropna()
+    vc = words.value_counts()
+    total = len(words)
+    want = (
+        vc[1000 * vc > total]
+        .rename_axis("word")
+        .reset_index(name="n")
+        .sort_values(["n", "word"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_misra_gries_survival_guarantee():
+    """A word above threshold survives the sketch even when the
+    capacity is tiny relative to the vocabulary (the 4x margin)."""
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(7)
+    # 5000-word tail + one hot word at ~2% of tokens
+    tail = [f"w{i}" for i in rng.randint(0, 5000, size=50_000)]
+    hot = ["HOT"] * 1000
+    text = " ".join(tail + hot)
+    df = pd.DataFrame({"text": [text]})
+
+    m = 4 * 100  # phi_den=100 capacity
+    words = df["text"].str.split().explode().dropna()
+    vc = words.value_counts()
+    g = vc.rename_axis("word").reset_index(name="w")
+    if len(g) > m:
+        g = g.sort_values("w", ascending=False, ignore_index=True)
+        cut = int(g["w"].iloc[m])
+        g["w"] = g["w"] - cut
+        g = g[g["w"] > 0]
+    assert "HOT" in set(g["word"])  # 2% > 1/(m+1) -> must survive
+    assert len(g) <= m
+
+
+def test_unigram_surprisal_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.unigram_surprisal(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    d2 = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ex = d2.set_index("doc_id")["text"].str.findall(r"\S+").explode().dropna()
+    tf = (
+        ex.groupby([ex.index, ex.to_numpy()]).size().rename("tf").reset_index()
+    )
+    tf.columns = ["doc_id", "word", "tf"]
+    cnt = tf.groupby("word")["tf"].sum()
+    T = int(tf["tf"].sum())
+    q = np.floor(
+        np.log2(float(T) / cnt.to_numpy(np.float64)) * 1e6 + 0.5
+    ).astype("int64")
+    tf["q"] = pd.Series(q, index=cnt.index).loc[tf["word"]].to_numpy() * tf[
+        "tf"
+    ].to_numpy()
+    want = (
+        tf.groupby("doc_id", as_index=False)
+        .agg(n_tokens=("tf", "sum"), microbits=("q", "sum"))
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # rarer corpora carry more bits/token than common ones on average
+    assert (got["microbits"] > 0).all()
+    pd.testing.assert_frame_equal(
+        D.unigram_surprisal(SF, num_partitions=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True),
+        want,
+    )
