@@ -128,6 +128,10 @@ def run_bench():
         ("segment_dedup", D.segment_dedup),
         # the large-large shuffle join (documents x embeddings)
         ("source_label_stats", D.source_label_stats),
+        # semi-join (distinct-key shuffle + per-partition isin)
+        ("priority_semi_counts", D.priority_semi_counts),
+        # two co-partitioned shuffles (word-hash attach + doc-hash sum)
+        ("unigram_surprisal", D.unigram_surprisal),
     ]
 
     for _ in range(runs):
