@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pivot": D.lang_source_pivot,
         "heavy_hitters": D.heavy_hitters,
         "unigram_surprisal": D.unigram_surprisal,
+        "rolling_daily_revenue": D.rolling_daily_revenue,
+        "source_median_chars": D.source_median_chars,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -561,5 +563,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(q.q) AS BIGINT) AS microbits
             FROM w JOIN q USING (word)
             GROUP BY w.doc_id
+        """,
+        "rolling_daily_revenue": """
+            WITH d AS (
+                SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY 1
+            )
+            SELECT day, revenue_cents,
+                   CAST(sum(revenue_cents) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_cents
+            FROM d
+        """,
+        "source_median_chars": """
+            WITH h AS (
+                SELECT source, n_chars, count(*) AS n
+                FROM documents GROUP BY source, n_chars
+            ),
+            c AS (
+                SELECT source, n_chars,
+                       sum(n) OVER (PARTITION BY source ORDER BY n_chars)
+                           AS cum,
+                       sum(n) OVER (PARTITION BY source) AS total
+                FROM h
+            )
+            SELECT source,
+                   CAST(min(n_chars) AS BIGINT) AS median_chars,
+                   CAST(any_value(total) AS BIGINT) AS n_docs
+            FROM c
+            WHERE cum >= (total + 1) // 2
+            GROUP BY source
         """,
     }

@@ -3401,3 +3401,80 @@ def unigram_surprisal(sf_dir, num_partitions=None) -> rd.Dataset:
         )
 
     return _partition_apply(scored, ["doc_id"], per_doc, P)
+
+
+def rolling_daily_revenue(sf_dir, window: int = 7) -> pd.DataFrame:
+    """Sliding-window aggregate over a time series: daily revenue
+    (integer cents) plus a trailing ``window``-row rolling sum.
+
+    Scale shape: the heavy reduction is the keyed day rollup —
+    bounded cardinality (one row per distinct ship date) no matter how
+    many lineitems exist — and the rolling pass runs over that tiny
+    sorted frame in one task.  ROWS-frame semantics (consecutive
+    present days), matching the SQL twin's ``ROWS BETWEEN n PRECEDING
+    AND CURRENT ROW`` exactly."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "revenue_cents" in df.columns:
+            return df.groupby("day", as_index=False).agg(
+                revenue_cents=("revenue_cents", "sum")
+            )
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        day = df["l_shipdate"].dt.strftime("%Y-%m-%d")
+        return (
+            pd.DataFrame({"day": day, "revenue_cents": cents})
+            .groupby("day", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"))
+        )
+
+    daily = _tree_agg(ds, partial).to_pandas()
+    daily = daily.sort_values("day", ignore_index=True)
+    daily["rolling_cents"] = (
+        daily["revenue_cents"].rolling(window, min_periods=1).sum().astype(
+            "int64"
+        )
+    )
+    return daily
+
+
+def source_median_chars(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Per-group EXACT median via the value-histogram trick: keyed
+    (source, n_chars) counts — bounded by distinct (group, value)
+    pairs, never row count — then one vectorized cumsum per source
+    partition.  Median = smallest v whose cumulative count reaches
+    ``ceil(n/2)`` (inclusive-rank, same formula as the
+    ``chars_percentiles`` oracle)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def median_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a source are co-located: combine + median here
+        g = g.groupby(["source", "n_chars"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        g = g.sort_values(["source", "n_chars"], kind="mergesort")
+        out = []
+        for src, grp in g.groupby("source", sort=False):
+            cum = grp["n"].cumsum()
+            total = int(cum.iloc[-1])
+            rank = (total + 1) // 2  # ceil(total/2)
+            v = int(grp["n_chars"].to_numpy()[np.searchsorted(
+                cum.to_numpy(), rank)])
+            out.append((src, v, total))
+        return pd.DataFrame(
+            out, columns=["source", "median_chars", "n_docs"]
+        ).astype({"median_chars": "int64", "n_docs": "int64"})
+
+    return _partition_apply(partials, ["source"], median_per_source,
+                            num_partitions)

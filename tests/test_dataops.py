@@ -1793,3 +1793,56 @@ def test_unigram_surprisal_matches_bruteforce():
         .sort_values("doc_id", ignore_index=True),
         want,
     )
+
+
+def test_rolling_daily_revenue_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = D.rolling_daily_revenue(SF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_shipdate", "l_extendedprice"]
+    )
+    cents = np.rint(li["l_extendedprice"].to_numpy() * 100).astype("int64")
+    day = li["l_shipdate"].dt.strftime("%Y-%m-%d")
+    want = (
+        pd.DataFrame({"day": day, "revenue_cents": cents})
+        .groupby("day", as_index=False)
+        .sum()
+        .sort_values("day", ignore_index=True)
+    )
+    want["rolling_cents"] = (
+        want["revenue_cents"].rolling(7, min_periods=1).sum().astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # window actually accumulates: some rolling value exceeds its day's
+    assert (got["rolling_cents"] > got["revenue_cents"]).any()
+
+
+def test_source_median_chars_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.source_median_chars(SF)
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    )
+    rows = []
+    for src, g in docs.groupby("source"):
+        v = sorted(g["n_chars"].tolist())
+        n = len(v)
+        rows.append((src, v[(n + 1) // 2 - 1], n))
+    want = (
+        pd.DataFrame(rows, columns=["source", "median_chars", "n_docs"])
+        .astype({"median_chars": "int64", "n_docs": "int64"})
+        .sort_values("source", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(
+        D.source_median_chars(SF, num_partitions=3)
+        .to_pandas()
+        .sort_values("source", ignore_index=True),
+        want,
+    )
