@@ -3374,7 +3374,9 @@ def unigram_surprisal(sf_dir, num_partitions=None) -> rd.Dataset:
         g["tf"] = g["tf"].astype("int64")
         return g
 
-    tf = ds.map_batches(tf_partial, batch_format="pandas")
+    # tf feeds BOTH the total pass and the scoring shuffle; pin it once
+    # (lazy re-execution would tokenize the whole corpus twice)
+    tf = ds.map_batches(tf_partial, batch_format="pandas").materialize()
 
     # corpus totals: tiny P-row second pass over the tf rows
     total = int(
