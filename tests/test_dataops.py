@@ -1846,3 +1846,81 @@ def test_source_median_chars_matches_bruteforce():
         .sort_values("source", ignore_index=True),
         want,
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel properties (hypothesis; no Ray execution involved)
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=200, derandomize=True, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=1, max_size=200))
+    def test_hll_register_invariants(hashes):
+        """Register index always < m, rank always in [1, 64-p+1], and
+        the kernel is a pure function of the hash."""
+        from html_extract import dataops as D
+
+        h = np.array(hashes, dtype=np.uint64)
+        idx, rank = D._hll_registers(h)
+        assert (idx >= 0).all() and (idx < D._HLL_M).all()
+        assert (rank >= 1).all() and (rank <= 64 - D._HLL_P + 1).all()
+        i2, r2 = D._hll_registers(h)
+        assert np.array_equal(idx, i2) and np.array_equal(rank, r2)
+        # rank is 1 + leading zeros of the low 64-p bits: verify per
+        # element against int.bit_length (the slow exact reference)
+        for hv, rv in zip(hashes, rank):
+            rest = (hv << D._HLL_P) % (1 << 64) >> D._HLL_P
+            want = (64 - D._HLL_P + 1) if rest == 0 else (
+                64 - D._HLL_P - rest.bit_length() + 1
+            )
+            assert rv == want
+
+    @settings(max_examples=100, derandomize=True, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-1000, max_value=1000),
+                 min_size=1, max_size=300),
+        st.integers(min_value=1, max_value=64),
+    )
+    def test_hash_mod_row_order_invariant(keys, P):
+        """A row's partition id depends only on its key values — never
+        on frame order or neighboring rows (the property every shuffle
+        in the engine relies on)."""
+        from html_extract import dataops as D
+
+        df = pd.DataFrame({"k": pd.Series(keys, dtype="int64")})
+        parts = D._hash_mod(df, ["k"], P)
+        assert (parts >= 0).all() and (parts < P).all()
+        perm = np.random.RandomState(0).permutation(len(df))
+        parts_perm = D._hash_mod(df.iloc[perm].reset_index(drop=True),
+                                 ["k"], P)
+        assert np.array_equal(parts[perm], parts_perm)
+
+    @settings(max_examples=100, derandomize=True, deadline=None)
+    @given(st.lists(st.sampled_from([f"w{i}" for i in range(30)]),
+                    min_size=1, max_size=500))
+    def test_misra_gries_undercount_bound(words):
+        """After an MG prune at capacity m, every surviving weight
+        lower-bounds the true count and the undercount is <= the cut
+        applied — the survival guarantee heavy_hitters builds on."""
+        m = 8
+        vc = pd.Series(words).value_counts()
+        g = vc.rename_axis("word").reset_index(name="w")
+        cut = 0
+        if len(g) > m:
+            g = g.sort_values("w", ascending=False, ignore_index=True)
+            cut = int(g["w"].iloc[m])
+            g["w"] = g["w"] - cut
+            g = g[g["w"] > 0]
+        assert len(g) <= m
+        for word, w in zip(g["word"], g["w"]):
+            true = int(vc[word])
+            assert w <= true
+            assert true - w <= cut
