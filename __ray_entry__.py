@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": D.unigram_surprisal,
         "rolling_daily_revenue": D.rolling_daily_revenue,
         "source_median_chars": D.source_median_chars,
+        "funnel_counts": D.funnel_counts,
+        "distinct_users_exact": D.distinct_users_exact,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -596,5 +598,33 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE cum >= (total + 1) // 2
             GROUP BY source
+        """,
+        "funnel_counts": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS vt FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS ct
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.vt
+                  AND e.ts <= v.vt + INTERVAL 12 HOUR
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS pt
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                  AND e.ts <= c.ct + INTERVAL 12 HOUR
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase
+        """,
+        "distinct_users_exact": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

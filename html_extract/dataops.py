@@ -3480,3 +3480,77 @@ def source_median_chars(sf_dir, num_partitions=None) -> rd.Dataset:
 
     return _partition_apply(partials, ["source"], median_per_source,
                             num_partitions)
+
+
+def funnel_counts(
+    sf_dir,
+    stages: tuple = ("view", "click", "purchase"),
+    within_hours: int = 12,
+    num_partitions=None,
+) -> pd.DataFrame:
+    """Ordered-funnel analytics: how many users performed stage 1,
+    then stage 2 STRICTLY AFTER their first stage-1 event but within
+    ``within_hours`` of it, then stage 3 likewise after stage 2
+    (first-touch chaining, the standard product-analytics funnel; the
+    window is what makes stages attrit — 150/37/7 users at sf0.01).
+
+    Distributed shape: ONE shuffle co-locates each user's history,
+    then the per-partition pass is k vectorized groupby-min rounds
+    (no per-user Python); each partition emits one row of stage
+    counts and the driver sums P rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    cols = [f"n_{s}" for s in stages]
+    win = pd.Timedelta(hours=within_hours)
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # per-user timestamp of the previous stage's first hit
+        counts = []
+        for s in stages:
+            ev = g[g["event_type"] == s]
+            if cur is not None:
+                ev = ev.merge(cur.rename("prev_ts"), left_on="user_id",
+                              right_index=True)
+                ev = ev[(ev["ts"] > ev["prev_ts"])
+                        & (ev["ts"] <= ev["prev_ts"] + win)]
+            cur = ev.groupby("user_id")["ts"].min()
+            counts.append(np.int64(len(cur)))
+        return pd.DataFrame([counts], columns=cols)
+
+    parts = _partition_apply(ds, ["user_id"], funnel_part, num_partitions)
+    total = parts.to_pandas()[cols].sum()
+    return pd.DataFrame([total.to_list()], columns=cols).astype("int64")
+
+
+def distinct_users_exact(sf_dir, num_partitions=None) -> rd.Dataset:
+    """EXACT distinct users per event_type — the precise twin of
+    ``approx_distinct_users`` (HLL), kept for corpora where the group
+    count is small enough to afford it.  Per-batch distinct pairs slim
+    the shuffle to unique (type, user) rows, pairs co-locate by user
+    hash, each partition dedups and counts its disjoint user set, and
+    a tiny final sum combines per type (a user appears in exactly one
+    partition, so partition counts add exactly)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates()
+
+    dd = ds.map_batches(pairs, batch_format="pandas")
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates()
+        return (
+            u.groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    parts = _partition_apply(dd, ["user_id"], count_part, num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("n_users", "sum")
+        )
+
+    return parts.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )

@@ -1924,3 +1924,61 @@ if _HYP:
             true = int(vc[word])
             assert w <= true
             assert true - w <= cut
+
+
+def test_funnel_counts_matches_bruteforce():
+    """Windowed first-touch funnel == single-frame chained-min
+    reference, with genuine attrition across stages."""
+    from html_extract import dataops as D
+
+    got = D.funnel_counts(SF)
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    win = pd.Timedelta(hours=12)
+    v = ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min()
+    c = ev[ev["event_type"] == "click"].merge(
+        v.rename("vt"), left_on="user_id", right_index=True
+    )
+    c = c[(c["ts"] > c["vt"]) & (c["ts"] <= c["vt"] + win)].groupby(
+        "user_id"
+    )["ts"].min()
+    p = ev[ev["event_type"] == "purchase"].merge(
+        c.rename("ct"), left_on="user_id", right_index=True
+    )
+    p = p[(p["ts"] > p["ct"]) & (p["ts"] <= p["ct"] + win)].groupby(
+        "user_id"
+    )["ts"].min()
+    want = pd.DataFrame(
+        [[len(v), len(c), len(p)]], columns=["n_view", "n_click", "n_purchase"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_view"].iloc[0] > got["n_click"].iloc[0] > 0  # attrition
+    pd.testing.assert_frame_equal(D.funnel_counts(SF, num_partitions=3), want)
+
+
+def test_distinct_users_exact_matches_nunique():
+    from html_extract import dataops as D
+
+    got = (
+        D.distinct_users_exact(SF)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    )
+    want = (
+        ev.groupby("event_type")["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .astype({"n_users": "int64"})
+        .sort_values("event_type", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(
+        D.distinct_users_exact(SF, num_partitions=5)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True),
+        want,
+    )
