@@ -2801,12 +2801,55 @@ def shipping_priority(
 # semi / anti joins (EXISTS / NOT EXISTS at scale)
 
 
+def _bloom_build(keys_ds: rd.Dataset, on: str, n_bits: int) -> np.ndarray:
+    """Distributed Bloom filter over a key column: each batch sets its
+    bits in a local bitmap partial (two double-hashed probes via the
+    same deterministic siphash as ``_hash_mod``), partials tree-OR
+    down to one ``n_bits/8``-byte array.  No false negatives ever."""
+    nb = np.uint64(n_bits)
+
+    def probes(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        h1 = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+        h2 = (h1 >> np.uint64(17)) | np.uint64(1)  # odd second hash
+        return (h1 % nb).astype(np.int64), ((h1 + h2) % nb).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "bits" in df.columns:  # OR-combining partials
+            acc = np.frombuffer(df["bits"].iloc[0], dtype=np.uint8).copy()
+            for b in df["bits"].iloc[1:]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame({"bits": [acc.tobytes()]})
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        p1, p2 = probes(df[on])
+        for p in (p1, p2):
+            # unbuffered |= : duplicate byte indices must all land
+            np.bitwise_or.at(
+                bits, p // 8,
+                np.left_shift(np.uint8(1), (p % 8).astype(np.uint8)),
+            )
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    merged = _tree_agg(keys_ds, partial).to_pandas()
+    return np.frombuffer(merged["bits"].iloc[0], dtype=np.uint8)
+
+
+def _bloom_test(bits: np.ndarray, s: pd.Series) -> np.ndarray:
+    nb = np.uint64(len(bits) * 8)
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+    h2 = (h1 >> np.uint64(17)) | np.uint64(1)
+    m = np.ones(len(s), dtype=bool)
+    for p in ((h1 % nb).astype(np.int64), ((h1 + h2) % nb).astype(np.int64)):
+        m &= ((bits[p // 8] >> (p % 8).astype(np.uint8)) & 1).astype(bool)
+    return m
+
+
 def _semi_anti_join(
     left: rd.Dataset,
     right_keys: rd.Dataset,
     on: str,
     anti: bool = False,
     num_partitions=None,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Distributed semi-join (``anti=False``: keep left rows whose key
     EXISTS on the right) / anti-join (``anti=True``: keep left rows
@@ -2820,11 +2863,30 @@ def _semi_anti_join(
     Never materializes a join product — the output is a subset of the
     left input, which is what EXISTS semantics mean.  Scale story:
     one shuffle total, per-partition memory is the partition's left
-    rows + its distinct right keys."""
+    rows + its distinct right keys.
+
+    ``bloom_bits`` (semi-join only) enables the classic runtime-filter
+    pushdown for selective joins: a Bloom filter over the right keys
+    is built distributively, broadcast once, and probed per left batch
+    BEFORE the exchange, so non-matching left rows never enter the
+    shuffle.  Results are bit-identical — the bloom has no false
+    negatives and its false positives die in the exact per-partition
+    ``isin``.  (Meaningless for anti: every left row must reach the
+    exact check anyway.)"""
     P = _num_partitions(num_partitions)
     lsch = left.schema()
     if lsch is None:  # empty left: nothing to keep either way
         return left
+    if bloom_bits is not None and not anti:
+        keys_only = right_keys.map_batches(
+            lambda t: pa.table({on: t[on].unique()}), batch_format="pyarrow"
+        )
+        bits_ref = ray.put(_bloom_build(keys_only, on, bloom_bits))
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            return df[_bloom_test(ray.get(bits_ref), df[on])]
+
+        left = left.map_batches(prefilter, batch_format="pandas")
     payload = [c for c in lsch.names if c != on]
     all_cols = [on] + payload
 

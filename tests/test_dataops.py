@@ -1982,3 +1982,52 @@ def test_distinct_users_exact_matches_nunique():
         .sort_values("event_type", ignore_index=True),
         want,
     )
+
+
+def test_bloom_prefiltered_semi_join_identical():
+    """The Bloom runtime filter changes shuffle volume, never results:
+    bit-identical to the plain semi-join on a selective key layout,
+    and the filter itself admits every true key (no false negatives)."""
+    import ray.data as rd
+
+    from html_extract import dataops as D
+
+    rng = np.random.RandomState(3)
+    lf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 100_000, size=5_000).astype("int64"),
+            "v": np.arange(5_000, dtype="int64"),
+        }
+    )
+    rkeys = pd.DataFrame({"k": np.arange(0, 100_000, 97, dtype="int64")})
+
+    plain = (
+        D._semi_anti_join(
+            rd.from_pandas(lf).repartition(4),
+            rd.from_pandas(rkeys).repartition(2),
+            on="k",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    bloomed = (
+        D._semi_anti_join(
+            rd.from_pandas(lf).repartition(4),
+            rd.from_pandas(rkeys).repartition(2),
+            on="k",
+            num_partitions=4,
+            bloom_bits=1 << 16,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(bloomed, plain)
+    assert len(plain) > 0
+
+    # no false negatives: every inserted key passes the probe
+    bits = D._bloom_build(rd.from_pandas(rkeys), "k", 1 << 16)
+    assert D._bloom_test(bits, rkeys["k"]).all()
+    # and the filter is selective on this layout (it actually prunes)
+    others = pd.Series(np.arange(1, 100_000, 97, dtype="int64"))
+    assert D._bloom_test(bits, others).mean() < 0.5
