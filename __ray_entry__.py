@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_median_chars": D.source_median_chars,
         "funnel_counts": D.funnel_counts,
         "distinct_users_exact": D.distinct_users_exact,
+        "first_events_per_user": D.first_events_per_user,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -626,5 +627,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "first_events_per_user": """
+            SELECT user_id, seqno, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS BIGINT) AS seqno
+                FROM events
+            ) WHERE seqno <= 3
         """,
     }

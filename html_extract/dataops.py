@@ -3616,3 +3616,24 @@ def distinct_users_exact(sf_dir, num_partitions=None) -> rd.Dataset:
     return parts.repartition(1).map_batches(
         combine, batch_format="pandas", batch_size=None
     )
+
+
+def first_events_per_user(sf_dir, k: int = 3, num_partitions=None) -> rd.Dataset:
+    """ROW_NUMBER window shape: each user's first ``k`` events with
+    their 1-based sequence number (ordered by ts then event_id, so the
+    numbering is deterministic under timestamp ties).
+
+    One shuffle co-locates user histories; the per-partition pass is a
+    vectorized sort + groupby-cumcount (no per-user Python) and only
+    P x k x users_per_partition winner rows survive the cut."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(seqno=g.groupby("user_id").cumcount() + 1)
+        out = g[g["seqno"] <= k]
+        return out[["user_id", "seqno", "event_id", "event_type"]].astype(
+            {"seqno": "int64"}
+        )
+
+    return _partition_apply(ds, ["user_id"], number, num_partitions)

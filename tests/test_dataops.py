@@ -2031,3 +2031,29 @@ def test_bloom_prefiltered_semi_join_identical():
     # and the filter is selective on this layout (it actually prunes)
     others = pd.Series(np.arange(1, 100_000, 97, dtype="int64"))
     assert D._bloom_test(bits, others).mean() < 0.5
+
+
+def test_first_events_per_user_matches_row_number():
+    from html_extract import dataops as D
+
+    got = (
+        D.first_events_per_user(SF)
+        .to_pandas()
+        .sort_values(["user_id", "seqno"], ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["seqno"] = (ev.groupby("user_id").cumcount() + 1).astype("int64")
+    want = ev[ev["seqno"] <= 3][
+        ["user_id", "seqno", "event_id", "event_type"]
+    ].sort_values(["user_id", "seqno"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.groupby("user_id")["seqno"].max().eq(3).all()
+    pd.testing.assert_frame_equal(
+        D.first_events_per_user(SF, num_partitions=5)
+        .to_pandas()
+        .sort_values(["user_id", "seqno"], ignore_index=True),
+        want,
+    )
