@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": D.funnel_counts,
         "distinct_users_exact": D.distinct_users_exact,
         "first_events_per_user": D.first_events_per_user,
+        "cohort_retention": D.cohort_retention,
         "ann_topk": D.ann_topk,
         # multi-table hyperplane LSH at a threshold the driver corpus
         # provably populates (59 pairs at sf0.01); planes=3 x tables=24
@@ -636,5 +637,22 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS seqno
                 FROM events
             ) WHERE seqno <= 3
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT e.user_id,
+                       strftime(CAST(f.ft AS DATE), '%Y-%m-%d')
+                           AS cohort_day,
+                       datediff('day', CAST(f.ft AS DATE),
+                                CAST(e.ts AS DATE)) AS offs
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_day,
+                   CAST(offs AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort_day, offs
         """,
     }

@@ -3637,3 +3637,47 @@ def first_events_per_user(sf_dir, k: int = 3, num_partitions=None) -> rd.Dataset
         )
 
     return _partition_apply(ds, ["user_id"], number, num_partitions)
+
+
+def cohort_retention(sf_dir, num_partitions=None) -> rd.Dataset:
+    """Cohort retention matrix: users bucketed by the DAY of their
+    FIRST event (cohort), counted once per day offset on which they
+    were active again — the standard product-retention rollup (daily
+    granularity because the corpus' event stream spans one month).
+
+    Distributed shape: one shuffle co-locates each user's history;
+    per partition everything is vectorized (first-ts merge, calendar
+    day arithmetic, distinct cut) and users are disjoint across
+    partitions, so per-partition (cohort, offset) counts add exactly;
+    the driver sees cohorts x offsets rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def retention_part(g: pd.DataFrame) -> pd.DataFrame:
+        ft = g.groupby("user_id")["ts"].min().rename("ft")
+        g = g.merge(ft, left_on="user_id", right_index=True)
+        day = g["ts"].dt.normalize()
+        fday = g["ft"].dt.normalize()
+        offs = (day - fday).dt.days.astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "cohort_day": fday.dt.strftime("%Y-%m-%d"),
+                "day_offset": offs,
+            }
+        ).drop_duplicates()
+        return (
+            d.groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    parts = _partition_apply(ds, ["user_id"], retention_part, num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["cohort_day", "day_offset"], as_index=False
+        ).agg(n_users=("n_users", "sum"))
+
+    return parts.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )

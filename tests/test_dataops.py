@@ -2057,3 +2057,42 @@ def test_first_events_per_user_matches_row_number():
         .sort_values(["user_id", "seqno"], ignore_index=True),
         want,
     )
+
+
+def test_cohort_retention_matches_bruteforce():
+    from html_extract import dataops as D
+
+    got = (
+        D.cohort_retention(SF)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"], ignore_index=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ft = ev.groupby("user_id")["ts"].min().rename("ft")
+    j = ev.merge(ft, left_on="user_id", right_index=True)
+    offs = (
+        (j["ts"].dt.normalize() - j["ft"].dt.normalize()).dt.days.astype(
+            "int64"
+        )
+    )
+    d = pd.DataFrame(
+        {
+            "user_id": j["user_id"],
+            "cohort_day": j["ft"].dt.normalize().dt.strftime("%Y-%m-%d"),
+            "day_offset": offs,
+        }
+    ).drop_duplicates()
+    want = (
+        d.groupby(["cohort_day", "day_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort_day", "day_offset"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["day_offset"] == 0).any() and (got["day_offset"] > 0).any()
+    pd.testing.assert_frame_equal(
+        D.cohort_retention(SF, num_partitions=5)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"], ignore_index=True),
+        want,
+    )
