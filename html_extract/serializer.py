@@ -344,34 +344,52 @@ class _Pretty:
             return
 
     def node(self, item, out, level, first, fab, pre):
-        if isinstance(item, (Document, DocumentFragment)):
-            self.inner(item.children, out, level, first, fab, pre)
-            return
-        if isinstance(item, Element):
-            self._element(item, out, level, first, fab, pre)
-        elif isinstance(item, Text):
-            self._text(item, out, fab, pre)
-        elif isinstance(item, Comment):
-            self._positioned_literal(
-                item, out, level, first, fab, pre,
-                lambda prev: isinstance(prev, Comment),
-            )
-            out.append(f"<!--{item.data}-->")
-        elif isinstance(item, ProcessingInstruction):
-            self._positioned_literal(
-                item, out, level, first, fab, pre,
-                lambda prev: isinstance(prev, ProcessingInstruction),
-            )
-            out.append(f"<?{item.target} {item.data}>")
-        elif isinstance(item, Doctype):
-            if not first:
-                out.append("\n")
-            out.append(f"<!DOCTYPE {item.name}>")
-
-    def inner(self, children, out, level, first, fab, pre):
-        for child in children:
-            self.node(child, out, level, first, fab, pre)
-            first = False
+        # explicit-stack walk: pretty output must survive the same
+        # pathological depths as the default iterative serializer
+        # ("n" = render a node, "c" = emit an element's close tag)
+        stack = [("n", item, level, first, fab, pre)]
+        while stack:
+            frame = stack.pop()
+            if frame[0] == "c":
+                _, name, lvl, do_indent = frame
+                if do_indent:
+                    self._indent(out, lvl)
+                out.append(f"</{name}>")
+                continue
+            _, item, level, first, fab, pre = frame
+            if isinstance(item, (Document, DocumentFragment)):
+                kids = item.children
+                for i in range(len(kids) - 1, -1, -1):
+                    stack.append(
+                        ("n", kids[i], level, first and i == 0, fab, pre)
+                    )
+                continue
+            if isinstance(item, Element):
+                cont = self._element_open(item, out, level, first, fab, pre)
+                if cont is None:
+                    continue
+                kids, fab2, do_indent = cont
+                stack.append(("c", item.name, level, do_indent))
+                for i in range(len(kids) - 1, -1, -1):
+                    stack.append(("n", kids[i], level + 1, False, fab2, False))
+            elif isinstance(item, Text):
+                self._text(item, out, fab, pre)
+            elif isinstance(item, Comment):
+                self._positioned_literal(
+                    item, out, level, first, fab, pre,
+                    lambda prev: isinstance(prev, Comment),
+                )
+                out.append(f"<!--{item.data}-->")
+            elif isinstance(item, ProcessingInstruction):
+                self._positioned_literal(
+                    item, out, level, first, fab, pre,
+                    lambda prev: isinstance(prev, ProcessingInstruction),
+                )
+                out.append(f"<?{item.target} {item.data}>")
+            elif isinstance(item, Doctype):
+                if not first:
+                    out.append("\n")
+                out.append(f"<!DOCTYPE {item.name}>")
 
     def _positioned_literal(self, item, out, level, first, fab, pre, same):
         # comment / PI positioning (Serializer.php:452-500)
@@ -383,7 +401,11 @@ class _Pretty:
             self._group_break(out, item, same)
             self._indent(out, level)
 
-    def _element(self, el, out, level, first, fab, pre):
+    def _element_open(self, el, out, level, first, fab, pre):
+        """Prefix + start tag for one element.  Returns None when the
+        subtree is fully emitted here (void, preformatted-verbatim, or
+        childless); else ``(kids, child_fab, close_indent)`` for the
+        caller's explicit stack."""
         kids = self._kids(el)
         name = el.name
         html = el.namespace == HTML_NS
@@ -424,18 +446,20 @@ class _Pretty:
                 )
                 self._indent(out, level)
         if _emit_start_tag(el, out, self.bool_attr, self.foreign_void, kids):
-            return
+            return None
         if preformatted:
             # content verbatim: reformatting suspended for the subtree
             for child in kids:
                 _serialize_node(child, out, self.bool_attr, self.foreign_void)
-        elif kids:
-            self.inner(kids, out, level + 1, False, fab, preformatted)
-            if any(isinstance(k, Element) for k in kids) and (
-                fab or (html and self.treat_as_block(el))
-            ):
-                self._indent(out, level)
-        out.append(f"</{name}>")
+            out.append(f"</{name}>")
+            return None
+        if not kids:
+            out.append(f"</{name}>")
+            return None
+        close_indent = any(isinstance(k, Element) for k in kids) and (
+            fab or (html and self.treat_as_block(el))
+        )
+        return kids, fab, close_indent
 
     def _text(self, text, out, fab, pre):
         parent = text.parent

@@ -413,3 +413,21 @@ def test_pretty_print_body_not_real_block_ancestor():
         "<html>\n <head></head>\n\n"
         " <body>leading <b>bold</b> trailing</body>\n</html>"
     )
+
+
+def test_pretty_print_survives_pathological_depth():
+    """The pretty printer walks an explicit stack, so a 30k-deep
+    document must serialize without RecursionError (found by the
+    round-4 repeated-structure hunt; the default serializer was
+    already iterative)."""
+    from html_extract.parser import parse
+    from html_extract.serializer import serialize
+
+    # 5k nesting: ~5x any Python recursion limit, and keeps the
+    # pretty pass' inherent O(depth^2) ancestor scans test-budget-sized
+    depth = 5_000
+    doc = parse("<i>" * depth + "x").document
+    out = serialize(doc, reformat_whitespace=True)
+    # inline chain: no indentation explosion, content preserved
+    assert "x" in out
+    assert out.count("<i>") == depth
