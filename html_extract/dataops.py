@@ -864,6 +864,79 @@ def _shingle_table(sf_dir) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _jaccard_verify(
+    cand: rd.Dataset, sf_dir, jaccard_threshold_pct: int, num_partitions
+) -> rd.Dataset:
+    """Exact shingle-Jaccard verification of LSH candidate pairs.
+
+    Joins the candidate pairs back to per-doc shingle-hash sets (two
+    hash joins on doc id — never a driver-side structure) and keeps
+    pairs with ``100 * |A∩B| >= thr * |A∪B|``.  Returns
+    Dataset[(a, b, n_inter, n_union)] — the set sizes are integers, so
+    the result is exactly comparable to a DuckDB string-shingle twin
+    (no float summation-order hazard)."""
+    P = _num_partitions(num_partitions)
+    sh = _shingle_table(sf_dir)
+    pairs_ds = cand.select_columns(["a", "b"])
+    j1 = _hash_join(
+        pairs_ds, _rename(sh, {"doc_id": "a", "sh": "sh_a"}), ("a",), "inner", P
+    )
+    j2 = _hash_join(
+        j1, _rename(sh, {"doc_id": "b", "sh": "sh_b"}), ("b",), "inner", P
+    )
+    thr = jaccard_threshold_pct
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_keep, b_keep, inters, unions = [], [], [], []
+        for a, b, sa_buf, sb_buf in zip(
+            t["a"].to_pylist(),
+            t["b"].to_pylist(),
+            t["sh_a"].to_pylist(),
+            t["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sa_buf, dtype="<u8")
+            sb = np.frombuffer(sb_buf, dtype="<u8")
+            na, nb = len(sa), len(sb)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = (na + nb - inter) or 1
+            if 100 * inter >= thr * union:
+                a_keep.append(a)
+                b_keep.append(b)
+                inters.append(inter)
+                unions.append(na + nb - inter)
+        aty = t.schema.field("a").type
+        return pa.table(
+            {
+                "a": pa.array(a_keep, aty),
+                "b": pa.array(b_keep, aty),
+                "n_inter": pa.array(inters, pa.int64()),
+                "n_union": pa.array(unions, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_pairs(
+    sf_dir, jaccard_threshold_pct=80, num_partitions=None, cap=64
+) -> rd.Dataset:
+    """Near-dup document pairs with exact Jaccard stats:
+    MinHash-LSH candidate prefilter -> exact shingle-set verification.
+    Dataset[(a, b, n_inter, n_union)], a < b.
+
+    Oracle-checkable: word-3-gram shingle sets hashed per
+    :func:`_batch_shingle_hashes` are collision-free on real corpora
+    (64-bit), so n_inter/n_union equal the STRING-shingle counts a SQL
+    engine computes; and at 128 perms / 32 bands the LSH misses a
+    J>=0.8 pair with probability <= (1 - 0.8^4)^32 ~ 5e-8 — pytest
+    pins empirically-exact recall on the driver corpora, making the
+    output equal to the exact O(shared-shingle pairs) DuckDB self-join
+    twin.  At 100 TB the same code path holds: candidates stay
+    bucketed, verification is a per-partition kernel."""
+    cand = minhash_candidates(sf_dir, cap=cap, num_partitions=num_partitions)
+    return _jaccard_verify(cand, sf_dir, jaccard_threshold_pct, num_partitions)
+
+
 def _cc_driver(pairs) -> dict:
     """Union-find over an edge list (driver-side; used when the
     verified-pair count is small)."""
@@ -1005,39 +1078,11 @@ def minhash_dedup(
     if cand.count() == 0:
         return ids.map_batches(own_cluster, batch_format="pandas")
 
-    sh = _shingle_table(sf_dir)
-    pairs_ds = cand.select_columns(["a", "b"])
-    j1 = _hash_join(
-        pairs_ds, _rename(sh, {"doc_id": "a", "sh": "sh_a"}), ("a",), "inner", P
+    verified = (
+        _jaccard_verify(cand, sf_dir, jaccard_threshold_pct, P)
+        .select_columns(["a", "b"])
+        .materialize()
     )
-    j2 = _hash_join(
-        j1, _rename(sh, {"doc_id": "b", "sh": "sh_b"}), ("b",), "inner", P
-    )
-
-    thr = jaccard_threshold_pct
-
-    def verify(t: pa.Table) -> pa.Table:
-        a_keep, b_keep = [], []
-        for a, b, sa_buf, sb_buf in zip(
-            t["a"].to_pylist(),
-            t["b"].to_pylist(),
-            t["sh_a"].to_pylist(),
-            t["sh_b"].to_pylist(),
-        ):
-            sa = np.frombuffer(sa_buf, dtype="<u8")
-            sb = np.frombuffer(sb_buf, dtype="<u8")
-            na, nb = len(sa), len(sb)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = (na + nb - inter) or 1
-            if 100 * inter >= thr * union:
-                a_keep.append(a)
-                b_keep.append(b)
-        aty = t.schema.field("a").type
-        return pa.table(
-            {"a": pa.array(a_keep, aty), "b": pa.array(b_keep, aty)}
-        )
-
-    verified = j2.map_batches(verify, batch_format="pyarrow").materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
         return ids.map_batches(own_cluster, batch_format="pandas")

@@ -2096,3 +2096,46 @@ def test_cohort_retention_matches_bruteforce():
         .sort_values(["cohort_day", "day_offset"], ignore_index=True),
         want,
     )
+
+
+def test_minhash_pairs_matches_exact_jaccard_twin():
+    """The registered driver query (thr=80, 128 perms / 32 bands) must
+    equal the exact word-3-gram Jaccard pair set — empirically-exact
+    LSH recall is what makes the DuckDB oracle promotion sound (miss
+    probability per J>=0.8 pair is (1-J^4)^32 <= 5e-8, and the seeds
+    are frozen, so green stays green)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from html_extract import dataops as D
+
+    got = (
+        D.minhash_pairs(SF)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["minhash_pairs"])
+        .df()
+        .sort_values(["a", "b"], ignore_index=True)
+        .astype({c: "int64" for c in ["a", "b", "n_inter", "n_union"]})
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    assert len(got) > 0  # non-vacuous: sf0.001 plants 28 near-dup pairs
+
+
+def test_all_oracle_twins_inside_driver_window():
+    """VERDICT r4 'What's wrong #1': the driver checks only a prefix of
+    queries() (r4: first 50).  Every oracle_sql key must sit inside
+    that window or its hash check silently never runs."""
+    import __ray_entry__ as E
+
+    keys = list(E.queries())
+    window = set(keys[:50])
+    missing = [k for k in E.oracle_sql() if k not in window]
+    assert missing == [], f"oracle twins outside the 50-entry window: {missing}"
