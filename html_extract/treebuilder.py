@@ -2239,17 +2239,22 @@ class TreeBuilder:
                 return self._m_in_head(tok)
             self._err("unexpected-end-tag")
             return None
-        # EOF
-        if not any(
-            el.namespace == HTML_NS and el.name == "template"
-            for el in self.stack
-        ):
+        # EOF.  The spec expresses this as "pop one template, reset,
+        # REPROCESS the EOF" — an O(open templates) loop.  Run it
+        # iteratively: the reprocess guard is an infinite-LOOP trap and
+        # must not count legal linear work (the reference's equivalent
+        # cap is a debug-only assert, TreeConstructor.php:366, disabled
+        # in production; hunt r5 found 50+ nested templates tripping
+        # ours).  No tokens run between iterations, so collapsing the
+        # intermediate resets is semantics-preserving.
+        if not self.stack.has_open(HTML_NS, "template"):
             return None
-        self._err("eof-in-template")
-        self._pop_until("template")
-        self._clear_afe_to_marker()
-        if self.template_modes:
-            self.template_modes.pop()
+        while self.stack.has_open(HTML_NS, "template"):
+            self._err("eof-in-template")
+            self._pop_until("template")
+            self._clear_afe_to_marker()
+            if self.template_modes:
+                self.template_modes.pop()
         self._reset_insertion_mode()
         return _REPROCESS
 

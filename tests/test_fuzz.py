@@ -147,6 +147,11 @@ def test_unclosed_formatting_spam_is_linear_time():
         ("span-deep", "<span>" * 25000 + "x"),
         ("td-spam", "<table><tr>" + "<td>c" * 15000),
         ("header-spam", "<h1>x<h2>y" * 10000),
+        # hunt r5 REAL BUG: EOF with >50 open templates tripped the
+        # reprocess cap (the spec's per-template EOF loop is legal
+        # linear work; the reference's equivalent cap is a debug-only
+        # assert).  _m_in_template now drains templates iteratively.
+        ("template-deep", "<template>" * 40000 + "x"),
     ],
 )
 def test_pathological_shapes_linear(name, doc):
