@@ -29,7 +29,12 @@ _soup = st.text(
 _tags = st.sampled_from(
     "<p><div><table><tr><td><b><i><a href=x><svg><math><template>"
     "<select><option><pre><!--c--><![CDATA[x]]></p></div></table>"
-    "</b></i></a></svg></math><!doctype html>".replace("><", ">|<").split("|")
+    "</b></i></a></svg></math><!doctype html>"
+    # round-5 hunt shapes (the nested-template EOF bug class lived here)
+    "</template><optgroup><input><hr><keygen><textarea></textarea>"
+    "<caption><colgroup><nobr></nobr><form></select>".replace(
+        "><", ">|<"
+    ).split("|")
 )
 _html = st.lists(st.one_of(_soup, _tags), max_size=30).map("".join)
 
