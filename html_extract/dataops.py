@@ -1279,32 +1279,37 @@ def embedding_near_dups(
         def __init__(self):
             self.planes = None
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            M = _stack_embeddings(df["embedding"])
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # Arrow in/out: the embedding column is REUSED zero-copy in
+            # each of the n_tables replicas instead of boxing every
+            # vector into a pandas object cell 8x before the shuffle
+            col = t["embedding"].combine_chunks()
+            M = _stack_embeddings(col)
             if self.planes is None:
                 self.planes = [
-                    np.random.RandomState(0xBEEF00 + t).normal(
+                    np.random.RandomState(0xBEEF00 + tb).normal(
                         size=(M.shape[1], n_planes)
                     )
-                    for t in range(n_tables)
+                    for tb in range(n_tables)
                 ]
             Mn = _normalize_rows(M)
-            frames = []
-            for t, pl in enumerate(self.planes):
-                code = ((Mn @ pl) > 0) @ pow2
-                frames.append(
-                    pd.DataFrame(
+            vec = t["vec_id"]
+            tabs = []
+            for tb, pl in enumerate(self.planes):
+                code = ((Mn @ pl) > 0) @ pow2 + tb * n_buckets
+                tabs.append(
+                    pa.table(
                         {
-                            "vec_id": df["vec_id"].to_numpy(),
-                            "bucket": t * n_buckets + code,
-                            "embedding": list(df["embedding"]),
+                            "vec_id": vec,
+                            "bucket": pa.array(code.astype(np.int64)),
+                            "embedding": col,
                         }
                     )
                 )
-            return pd.concat(frames, ignore_index=True)
+            return pa.concat_tables(tabs)
 
     coded = ds.map_batches(
-        MultiCoder, batch_format="pandas", batch_size=1024, concurrency=(1, 8)
+        MultiCoder, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1377,32 +1382,35 @@ def ann_topk_lsh(
         def __init__(self):
             self.planes = None
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            M = _stack_embeddings(df["embedding"])
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # Arrow in/out (same zero-copy replica trick as MultiCoder)
+            col = t["embedding"].combine_chunks()
+            M = _stack_embeddings(col)
             if self.planes is None:
                 self.planes = [
-                    np.random.RandomState(0xA11CE0 + t).normal(
+                    np.random.RandomState(0xA11CE0 + tb).normal(
                         size=(M.shape[1], n_planes)
                     )
-                    for t in range(n_tables)
+                    for tb in range(n_tables)
                 ]
             Mn = _normalize_rows(M)
-            frames = []
-            for t, pl in enumerate(self.planes):
-                code = ((Mn @ pl) > 0) @ pow2
-                frames.append(
-                    pd.DataFrame(
+            vec = t["vec_id"]
+            tabs = []
+            for tb, pl in enumerate(self.planes):
+                code = ((Mn @ pl) > 0) @ pow2 + tb * n_buckets
+                tabs.append(
+                    pa.table(
                         {
-                            "vec_id": df["vec_id"].to_numpy(),
-                            "bucket": t * n_buckets + code,
-                            "embedding": list(df["embedding"]),
+                            "vec_id": vec,
+                            "bucket": pa.array(code.astype(np.int64)),
+                            "embedding": col,
                         }
                     )
                 )
-            return pd.concat(frames, ignore_index=True)
+            return pa.concat_tables(tabs)
 
     coded = ds.map_batches(
-        Coder, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        Coder, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
 
     _empty = {
@@ -2035,19 +2043,21 @@ def ann_topk_ivf(
         def __init__(self):
             self.C = ray.get(c_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            Mn = _normalize_rows(_stack_embeddings(df["embedding"]))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # Arrow in/out: embedding column passes through zero-copy
+            col = t["embedding"].combine_chunks()
+            Mn = _normalize_rows(_stack_embeddings(col))
             lists = np.argmax(Mn @ self.C.T, axis=1)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "vec_id": df["vec_id"].to_numpy(),
-                    "list_id": lists.astype("int64"),
-                    "embedding": list(df["embedding"]),
+                    "vec_id": t["vec_id"],
+                    "list_id": pa.array(lists.astype(np.int64)),
+                    "embedding": col,
                 }
             )
 
     assigned = ds.map_batches(
-        Assigner, batch_format="pandas", batch_size=4096, concurrency=(1, 8)
+        Assigner, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
 
     # queries probe their n_probe nearest lists (driver computes the tiny
