@@ -127,6 +127,13 @@ def _partition_apply(
         # "different schema than the previous one" warning storm.
         if t.num_rows == 0:
             return
+        if t.schema.metadata:
+            # Ray's pandas->Arrow block conversion attaches b'pandas'
+            # schema metadata whose decoded form is an unhashable dict;
+            # downstream concat/dedup then logs "Failed to hash the
+            # schemas" and misses its fast path (same trap as parquet
+            # reads, see _clean_schema)
+            t = t.replace_schema_metadata(None)
         key_df = pd.DataFrame({c: t[c].to_pandas() for c in cols})
         part = _hash_mod(key_df, cols, P)
         yield t.append_column("_part", pa.array(part, pa.int32()))
