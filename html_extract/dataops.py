@@ -858,10 +858,22 @@ def minhash_candidates_df(sf_dir, cap=64, num_partitions=None) -> pd.DataFrame:
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
-def _shingle_table(sf_dir) -> rd.Dataset:
+def _shingle_table(sf_dir, keep_ids=None, num_partitions=None) -> rd.Dataset:
     """documents -> (doc_id, sh: list<uint64>) — the join-back side for
-    distributed Jaccard verification."""
+    distributed Jaccard verification.  ``keep_ids`` (Dataset[doc_id])
+    prunes the raw read with a broadcast Bloom filter BEFORE shingling
+    — MAP-ONLY (no extra shuffle: the downstream joins are exact, so
+    Bloom false positives merely shingle a few extra docs and then
+    drop; false negatives don't exist).  Non-members never get
+    shingled or shuffled."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    if keep_ids is not None:
+        bits_ref = ray.put(_bloom_build(keep_ids, "doc_id", 1 << 20))
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            return df[_bloom_test(ray.get(bits_ref), df["doc_id"])]
+
+        ds = ds.map_batches(prefilter, batch_format="pandas")
 
     def f(t: pa.Table) -> pa.Table:
         sh = _batch_shingle_hashes(t["text"].to_pylist())
@@ -892,7 +904,22 @@ def _jaccard_verify(
     the result is exactly comparable to a DuckDB string-shingle twin
     (no float summation-order hazard)."""
     P = _num_partitions(num_partitions)
-    sh = _shingle_table(sf_dir)
+    # 100 TB shape: candidate pairs are a vanishing fraction of the
+    # corpus, so computing/shuffling EVERY document's shingle set to
+    # verify a few pairs is the wrong exchange.  Broadcast-Bloom
+    # semi-join the documents down to pair members first (no false
+    # negatives; false positives die in the joins), then shingle only
+    # those.  cand is consumed twice (ids + join) -> materialize.
+    cand = cand.materialize()
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": both.unique()})
+
+    ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+    sh = _shingle_table(sf_dir, keep_ids=ids, num_partitions=P)
     pairs_ds = cand.select_columns(["a", "b"])
     j1 = _hash_join(
         pairs_ds, _rename(sh, {"doc_id": "a", "sh": "sh_a"}), ("a",), "inner", P
