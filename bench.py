@@ -132,6 +132,9 @@ def run_bench():
         ("priority_semi_counts", D.priority_semi_counts),
         # two co-partitioned shuffles (word-hash attach + doc-hash sum)
         ("unigram_surprisal", D.unigram_surprisal),
+        # r5 flagship dedup op: LSH candidates -> Bloom-pruned shingle
+        # join-back -> exact Jaccard verify (oracle-checked)
+        ("minhash_pairs", D.minhash_pairs),
     ]
 
     for _ in range(runs):
