@@ -911,6 +911,11 @@ def _jaccard_verify(
     # negatives; false positives die in the joins), then shingle only
     # those.  cand is consumed twice (ids + join) -> materialize.
     cand = cand.materialize()
+    # cost-based partition count for the verify joins: the pair set is
+    # KNOWN once materialized (count is free), so don't fan a few
+    # hundred rows across cpu-count partitions of empty merge tasks;
+    # big pair sets keep the caller's parallelism
+    P = max(8, min(P, (cand.count() + 499) // 500))
 
     def pair_ids(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
